@@ -1,0 +1,140 @@
+"""Simulated oracle labeling: dominant-label and NAIL modes.
+
+Behavior-parity port of sampler2.py:102-245 (oracle_labeling, _dominant_label,
+_get_sub_region_from_superpoint, _help_seed). This is the AL bookkeeping —
+sequential budget accounting over at most `sp_batch_size` small regions per
+round — so it stays on the host; the expensive per-region statistics it
+consumes (uncertainty ordering, predicted classes) are produced on device.
+
+Invariants (property-tested in tests/test_oracle.py):
+  - budget["click"] never goes negative and decrements once per paid
+    interaction (superpoint click, or sub-region confirmation in NAIL)
+  - pseudo-gt activation is monotone non-decreasing
+  - a labeled region's pseudo-labels are constant = its dominant GT label
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ssdr_al_tpu.active.state import RoundStats
+
+
+def dominant_label(labels: np.ndarray):
+    """(argmax label, dominance rate); sampler2.py:102-106."""
+    labels = np.asarray(labels, np.int64)
+    hist = np.bincount(labels)
+    return int(hist.argmax()), float(hist.max()) / len(labels)
+
+
+def dominant_point_ids(point_ids: np.ndarray, labels: np.ndarray):
+    """Point ids holding the dominant label; sampler2.py:108-115 (_dominant_2)."""
+    labels = np.asarray(labels, np.int64)
+    hist = np.bincount(labels)
+    label = int(hist.argmax())
+    point_ids = np.asarray(point_ids)
+    return label, point_ids[labels == label]
+
+
+def sub_regions_by_predicted_class(prob_class, point_inds):
+    """Split a superpoint by predicted class; sampler2.py:117-122."""
+    point_inds = np.asarray(point_inds)
+    pred = np.asarray(prob_class)[point_inds]
+    return [point_inds[pred == c] for c in range(int(pred.max()) + 1)]
+
+
+def oracle_labeling(
+    superpoint_inds: Sequence[int],
+    components: List[np.ndarray],
+    input_gt: np.ndarray,
+    pseudo_gt: np.ndarray,
+    stats: RoundStats,
+    mode: str,
+    prob_class,
+    threshold: float,
+    budget: Dict[str, int],
+    min_size: int,
+    selected_class_list: List[int],
+):
+    """Label the given superpoints until the click budget runs out.
+
+    Parity with sampler2.py:124-192. Returns (pseudo_gt, used_superpoint_inds).
+    pseudo_gt: float32 [2, N] (activation row 0, labels row 1), updated in place.
+    """
+    used = []
+
+    if mode == "dominant":
+        for sp_idx in superpoint_inds:
+            if budget["click"] <= 0:
+                break
+            point_inds = components[sp_idx]
+            if len(point_inds) < min_size:
+                continue
+            used.append(int(sp_idx))
+            budget["click"] -= 1
+            do_label, _ = dominant_label(input_gt[point_inds])
+            pseudo_gt[0][point_inds] = 1.0
+            pseudo_gt[1][point_inds] = float(do_label)
+            selected_class_list.append(do_label)
+            stats.sp_num += 1
+            stats.p_num += len(point_inds)
+
+    elif mode == "NAIL":
+        for sp_idx in superpoint_inds:
+            if budget["click"] <= 0:
+                break
+            point_inds = components[sp_idx]
+            if len(point_inds) < min_size:
+                continue
+            ignore = True
+            used.append(int(sp_idx))
+            budget["click"] -= 1
+            do_label, do_rate = dominant_label(input_gt[point_inds])
+            if do_rate >= threshold:
+                pseudo_gt[0][point_inds] = 1.0
+                pseudo_gt[1][point_inds] = float(do_label)
+                selected_class_list.append(do_label)
+                stats.sp_num += 1
+                stats.p_num += len(point_inds)
+                ignore = False
+            else:
+                # annotator rejects the whole superpoint; split it by the
+                # model's predicted classes and confirm pure sub-regions
+                for sub_pids in sub_regions_by_predicted_class(prob_class, point_inds):
+                    if len(sub_pids) > min_size:
+                        sub_label, sub_rate = dominant_label(input_gt[sub_pids])
+                        if sub_rate >= threshold:
+                            budget["click"] -= 1
+                            pseudo_gt[0][sub_pids] = 1.0
+                            pseudo_gt[1][sub_pids] = float(sub_label)
+                            selected_class_list.append(sub_label)
+                            stats.sub_num += 1
+                            stats.sub_p_num += len(sub_pids)
+                            ignore = False
+                if not ignore:
+                    stats.split_sp_num += 1
+            if ignore:
+                stats.ignore_sp_num += 1
+    else:
+        raise ValueError(f"unknown oracle mode {mode!r}")
+
+    return pseudo_gt, used
+
+
+def seed_labeling(
+    superpoint_inds: Sequence[int],
+    components: List[np.ndarray],
+    input_gt: np.ndarray,
+    pseudo_gt: np.ndarray,
+    stats: RoundStats,
+):
+    """Seed-round precise per-point labeling (sampler2.py:218-245 _help_seed)."""
+    for sp_idx in superpoint_inds:
+        point_inds = components[sp_idx]
+        pseudo_gt[0][point_inds] = 1.0
+        pseudo_gt[1][point_inds] = input_gt[point_inds]
+        stats.sp_num += 1
+        stats.p_num += len(point_inds)
+    return pseudo_gt

@@ -1,0 +1,305 @@
+"""RandLA-Net for TPU: in-graph neighborhoods, fused gather+MLP blocks.
+
+Re-design of the reference TF1 network (SSDR_AL_s3dis/RandLANet.py:140-180 and
+its building blocks 505-585) as a flax module. Architectural parity:
+
+  fc0 (6→8, BN, leakyReLU)                          RandLANet.py:144-146
+  5 × [dilated_res_block → random_sample]           RandLANet.py:150-157
+      dilated_res_block = mlp(d/2) → LFA → mlp(2d) + shortcut, leakyReLU
+                                                    RandLANet.py:505-512
+      LFA = 2 × [relative_pos_encoding → attentive pooling]
+                                                    RandLANet.py:514-535, 572-585
+      random_sample = gather(pool_idx) + max over k RandLANet.py:537-548
+  bottleneck 1×1 conv                               RandLANet.py:159-161
+  5 × [nearest_interpolation → concat skip → 1×1 conv]
+                                                    RandLANet.py:164-172
+  head fc1(64) → fc2(32)=penultimate → dropout(0.5) → fc(C)
+                                                    RandLANet.py:174-180
+
+All 1×1 convs are Dense layers over the channel axis; BN is
+momentum 0.99 / eps 1e-6 and every activated layer uses leaky_relu(0.2),
+matching helper_tf_util.conv2d:111-166.
+
+The key TPU difference: the reference feeds per-layer KNN / pool / upsample
+indices from a CPU DataLoader (`tf_map`, s3dis_dataset.py:156-183 — its hot
+preprocessing loop). Here `build_pyramid` computes them **in-graph** with the
+on-device KNN kernel, so an entire train step (pyramid + forward + loss +
+backward) is one compiled XLA program with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssdr_al_tpu.config import Config
+from ssdr_al_tpu.ops.knn import knn
+
+# Initializers mirroring the reference: conv kernels truncated-normal σ=1e-3
+# (helper_tf_util._variable_with_weight_decay, use_xavier=False default),
+# dense layers glorot-uniform (tf.layers.dense default).
+_CONV_INIT = nn.initializers.truncated_normal(stddev=1e-3)
+_DENSE_INIT = nn.initializers.glorot_uniform()
+
+
+def leaky_relu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+class SharedMLP(nn.Module):
+    """1×1 conv (+BN, +leakyReLU) over the channel axis — helper_tf_util.conv2d."""
+
+    features: int
+    bn: bool = True
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.features, kernel_init=_CONV_INIT)(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                momentum=0.99, epsilon=1e-6, use_running_average=not train
+            )(x)
+        if self.act:
+            x = leaky_relu(x)
+        return x
+
+
+def gather_neighbour(pc, neighbor_idx):
+    """pc [B, N, C], neighbor_idx [B, M, k] → [B, M, k, C] (RandLANet.py:561-570)."""
+    b, m, k = neighbor_idx.shape
+    flat = neighbor_idx.reshape(b, m * k)
+    out = jnp.take_along_axis(pc, flat[..., None], axis=1)
+    return out.reshape(b, m, k, pc.shape[-1])
+
+
+def relative_pos_encoding(xyz, neigh_idx):
+    """10-d per-edge geometry: [dist, rel_xyz, xyz, neigh_xyz] (RandLANet.py:529-535)."""
+    neighbor_xyz = gather_neighbour(xyz, neigh_idx)                 # [B,N,k,3]
+    xyz_tile = jnp.broadcast_to(
+        xyz[:, :, None, :], neighbor_xyz.shape
+    )
+    relative_xyz = xyz_tile - neighbor_xyz
+    relative_dis = jnp.sqrt(
+        jnp.maximum(jnp.sum(relative_xyz**2, axis=-1, keepdims=True), 1e-20)
+    )
+    return jnp.concatenate(
+        [relative_dis, relative_xyz, xyz_tile, neighbor_xyz], axis=-1
+    )
+
+
+def random_sample(feature, pool_idx):
+    """Max-pool features of the k neighbors of each kept point (RandLANet.py:537-548).
+
+    feature [B, N, C]; pool_idx [B, N', k] → [B, N', C]."""
+    pooled = gather_neighbour(feature, pool_idx)
+    return jnp.max(pooled, axis=2)
+
+
+def nearest_interpolation(feature, interp_idx):
+    """feature [B, N', C]; interp_idx [B, N, 1] → [B, N, C] (RandLANet.py:550-559)."""
+    idx = interp_idx[..., 0]
+    return jnp.take_along_axis(feature, idx[..., None], axis=1)
+
+
+class AttPooling(nn.Module):
+    """Attentive pooling over the k neighbors (RandLANet.py:572-585)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, feature_set, train: bool):
+        # feature_set [B, N, k, d]
+        d = feature_set.shape[-1]
+        att = nn.Dense(d, use_bias=False, kernel_init=_DENSE_INIT)(feature_set)
+        scores = jax.nn.softmax(att, axis=2)
+        agg = jnp.sum(feature_set * scores, axis=2)                 # [B, N, d]
+        return SharedMLP(self.d_out, name="mlp")(agg, train)
+
+
+class BuildingBlock(nn.Module):
+    """Local feature aggregation (RandLANet.py:514-527)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, xyz, feature, neigh_idx, train: bool):
+        d_in = feature.shape[-1]
+        f_xyz10 = relative_pos_encoding(xyz, neigh_idx)             # [B,N,k,10]
+        f_xyz = SharedMLP(d_in, name="mlp1")(f_xyz10, train)
+        f_neighbours = gather_neighbour(feature, neigh_idx)         # [B,N,k,d_in]
+        f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
+        f_pc_agg = AttPooling(self.d_out // 2, name="att_pooling_1")(f_concat, train)
+
+        f_xyz = SharedMLP(self.d_out // 2, name="mlp2")(f_xyz, train)
+        f_neighbours = gather_neighbour(f_pc_agg, neigh_idx)
+        f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
+        return AttPooling(self.d_out, name="att_pooling_2")(f_concat, train)
+
+
+class DilatedResBlock(nn.Module):
+    """RandLANet.py:505-512."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, feature, xyz, neigh_idx, train: bool):
+        f_pc = SharedMLP(self.d_out // 2, name="mlp1")(feature, train)
+        f_pc = BuildingBlock(self.d_out, name="lfa")(xyz, f_pc, neigh_idx, train)
+        f_pc = SharedMLP(2 * self.d_out, act=False, name="mlp2")(f_pc, train)
+        shortcut = SharedMLP(2 * self.d_out, act=False, name="shortcut")(feature, train)
+        return leaky_relu(f_pc + shortcut)
+
+
+@dataclasses.dataclass
+class Pyramid:
+    """Per-layer neighborhoods; the in-graph analogue of tf_map's input_list."""
+
+    xyz: List[jax.Array]          # [B, N_i, 3]
+    neigh_idx: List[jax.Array]    # [B, N_i, k]
+    sub_idx: List[jax.Array]      # [B, N_{i+1}, k]   pool indices
+    interp_idx: List[jax.Array]   # [B, N_i, 1]       upsample indices
+
+
+jax.tree_util.register_pytree_node(
+    Pyramid,
+    lambda p: ((p.xyz, p.neigh_idx, p.sub_idx, p.interp_idx), None),
+    lambda _, c: Pyramid(*c),
+)
+
+
+def build_pyramid(xyz, cfg: Config, *, engine: str = "xla") -> Pyramid:
+    """In-graph replacement for tf_map (s3dis_dataset.py:156-183).
+
+    xyz: [B, N, 3], already randomly shuffled by the host sampler — prefix
+    slicing therefore implements RandLA-Net's random downsampling, exactly as
+    the reference slices the shuffled cloud (s3dis_dataset.py:166-167).
+    """
+    xyzs, neighs, subs, interps = [], [], [], []
+    cur = xyz
+    for i in range(cfg.num_layers):
+        n = cur.shape[1]
+        n_sub = n // cfg.sub_sampling_ratio[i]
+        neigh = knn(cur, cur, cfg.k_n, engine=engine)               # [B, N, k]
+        sub_points = cur[:, :n_sub, :]
+        pool_i = neigh[:, :n_sub, :]
+        up_i = knn(sub_points, cur, 1, engine=engine)               # [B, N, 1]
+        xyzs.append(cur)
+        neighs.append(neigh)
+        subs.append(pool_i)
+        interps.append(up_i)
+        cur = sub_points
+    return Pyramid(xyzs, neighs, subs, interps)
+
+
+class RandLANet(nn.Module):
+    """Returns (logits [B, N, C], penultimate features [B, N, 32])."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, features, pyramid: Pyramid, train: bool = False):
+        cfg = self.cfg
+        f = nn.Dense(8, kernel_init=_DENSE_INIT, name="fc0")(features)
+        f = nn.BatchNorm(
+            momentum=0.99, epsilon=1e-6, use_running_average=not train, name="fc0_bn"
+        )(f)
+        f = leaky_relu(f)
+
+        # encoder (RandLANet.py:150-157)
+        f_encoder_list = []
+        for i in range(cfg.num_layers):
+            f_enc = DilatedResBlock(cfg.d_out[i], name=f"encoder_{i}")(
+                f, pyramid.xyz[i], pyramid.neigh_idx[i], train
+            )
+            f_sampled = random_sample(f_enc, pyramid.sub_idx[i])
+            f = f_sampled
+            if i == 0:
+                f_encoder_list.append(f_enc)
+            f_encoder_list.append(f_sampled)
+
+        # bottleneck (RandLANet.py:159-161)
+        f = SharedMLP(f_encoder_list[-1].shape[-1], name="decoder_0")(f, train)
+
+        # decoder (RandLANet.py:164-172)
+        for j in range(cfg.num_layers):
+            f_interp = nearest_interpolation(f, pyramid.interp_idx[-j - 1])
+            skip = f_encoder_list[-j - 2]
+            f = SharedMLP(skip.shape[-1], name=f"decoder_{j + 1}")(
+                jnp.concatenate([skip, f_interp], axis=-1), train
+            )
+
+        # head (RandLANet.py:174-180)
+        f = SharedMLP(64, name="fc1")(f, train)
+        f = SharedMLP(32, name="fc2")(f, train)
+        penultimate = f
+        f = nn.Dropout(rate=0.5, deterministic=not train, name="dp1")(f)
+        logits = nn.Dense(
+            cfg.num_classes, kernel_init=_CONV_INIT, name="fc"
+        )(f)
+        return logits, penultimate
+
+
+def forward_with_pyramid(model: RandLANet, variables, xyz, features, *,
+                         train=False, rngs=None, engine="xla",
+                         mutable=False):
+    """Convenience wrapper: pyramid + forward in one traceable function."""
+    pyramid = build_pyramid(xyz, model.cfg, engine=engine)
+    return model.apply(
+        variables, features, pyramid, train,
+        rngs=rngs, mutable=mutable,
+    )
+
+
+def label_reduce_table(num_classes: int, ignored_label_inds: Sequence[int]):
+    """Raw-label → training-label lookup (RandLANet.py:66-71 reducing_list)."""
+    import numpy as np
+
+    reducing = list(range(num_classes))
+    for ign in ignored_label_inds:
+        reducing = reducing[:ign] + [0] + reducing[ign:]
+    return np.asarray(reducing, dtype=np.int32)
+
+
+def masked_weighted_ce(
+    logits, pseudo, activation, labels, class_weights, ignored_label_inds=(),
+    reduce_table=None,
+):
+    """Activation-masked, class-weighted softmax CE.
+
+    Parity with RandLANet.py:43-74 + get_loss:486-503:
+      - points whose TRUE label is in ignored_label_inds are dropped
+      - pseudo labels are mapped through the reducing table
+      - ce · class_weight[pseudo] · activation, averaged over valid points
+    logits [B,N,C]; pseudo/labels [B,N] int; activation [B,N] {0,1}.
+    Returns (loss, accuracy) where accuracy is top-1 vs TRUE labels on valid
+    points (RandLANet.py:82-83).
+    """
+    c = logits.shape[-1]
+    logits2 = logits.reshape(-1, c)
+    pseudo = pseudo.reshape(-1).astype(jnp.int32)
+    labels = labels.reshape(-1).astype(jnp.int32)
+    activation = activation.reshape(-1).astype(jnp.float32)
+
+    valid = jnp.ones_like(labels, dtype=bool)
+    for ign in ignored_label_inds:
+        valid &= labels != ign
+    if reduce_table is not None:
+        table = jnp.asarray(reduce_table)
+        pseudo = table[pseudo]
+        labels = table[labels]
+
+    logp = jax.nn.log_softmax(logits2, axis=-1)
+    ce = -jnp.take_along_axis(logp, pseudo[:, None], axis=1)[:, 0]
+    w = jnp.asarray(class_weights)[pseudo]
+    weighted = ce * w * activation * valid
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(weighted) / denom
+
+    pred = jnp.argmax(logits2, axis=-1)
+    acc = jnp.sum((pred == labels) & valid) / denom
+    return loss, acc

@@ -1,0 +1,108 @@
+"""Pairwise chamfer distance between padded superpoints, on device.
+
+TPU-native replacement for BOTH reference chamfer paths (N5 in SURVEY.md):
+  - the CUDA kernel (SSRD_AL_semantic3d/chamfer3D/chamfer3D.cu + dist_chamfer_3D.py)
+  - the CPU KDTree fallback (`create_cd`/`chamfer_distance`, fps_gcn_cpu.py:12-38).
+
+Semantics (fps_gcn_cpu.py:12-24): for clouds i, j (already centered by their
+bbox centroid by the caller),
+    cd[i, j] = mean_{p∈i} min_{q∈j} ||p−q||  +  mean_{q∈j} min_{p∈i} ||p−q||
+with cd[i, i] = 0. Distances are Euclidean (not squared).
+
+Ragged superpoints are padded to a fixed P with a validity mask; the inner
+min/mean reductions ignore padding. The O(S²·P²) distance computation is
+blocked so only [P, chunk·P] tiles are live at once, and the cross terms ride
+the MXU as one batched matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def chamfer_pairwise(points, mask, row_chunk=8):
+    """points: [S, P, 3] float32 (centered); mask: [S, P] bool.
+    Returns cd: [S, S] float32 with zero diagonal.
+
+    row_chunk: number of source clouds processed per scan step (memory knob:
+    live buffer is [row_chunk, P, S, P] distances — keep row_chunk·P·S·P·4B
+    under a few hundred MB).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    s, p, _ = points.shape
+    s_pad = ((s + row_chunk - 1) // row_chunk) * row_chunk
+    pts = jnp.pad(points, ((0, s_pad - s), (0, 0), (0, 0)))
+    msk = jnp.pad(mask, ((0, s_pad - s), (0, 0)))
+
+    sq = jnp.sum(pts * pts, axis=-1)  # [S, P]
+    counts = jnp.maximum(jnp.sum(msk, axis=1), 1).astype(jnp.float32)  # [S]
+
+    flat = pts.reshape(s_pad * p, 3)
+    flat_sq = sq.reshape(s_pad * p)
+    flat_msk = msk.reshape(s_pad * p)
+
+    def body(_, ci):
+        start = ci * row_chunk
+        a = jax.lax.dynamic_slice_in_dim(pts, start, row_chunk, axis=0)    # [rc,P,3]
+        a_sq = jax.lax.dynamic_slice_in_dim(sq, start, row_chunk, axis=0)  # [rc,P]
+        a_msk = jax.lax.dynamic_slice_in_dim(msk, start, row_chunk, axis=0)
+        # d2[r, pa, j*P+q] over all target points
+        cross = jnp.einsum(
+            "rpc,nc->rpn", a, flat, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [rc, P, S*P]
+        d2 = a_sq[:, :, None] + flat_sq[None, None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        # mask invalid target points
+        d2 = jnp.where(flat_msk[None, None, :], d2, _BIG)
+        d2 = d2.reshape(row_chunk, p, s_pad, p)
+        dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))            # [rc, P, S] a→b NN dist
+        # mask invalid source points before the mean
+        dmin_ab = jnp.where(a_msk[:, :, None], dmin_ab, 0.0)
+        a_counts = jax.lax.dynamic_slice_in_dim(counts, start, row_chunk, axis=0)
+        mean_ab = jnp.sum(dmin_ab, axis=1) / a_counts[:, None]
+        # b→a: min over the source's points (axis=1), mean over target's valid pts
+        d2_ba = jnp.where(a_msk[:, :, None, None], d2, _BIG)
+        dmin_ba = jnp.sqrt(jnp.min(d2_ba, axis=1))          # [rc, S, P]
+        dmin_ba = jnp.where(msk[None, :, :], dmin_ba, 0.0)
+        mean_ba = jnp.sum(dmin_ba, axis=-1) / counts[None, :]
+        return None, mean_ab + mean_ba                      # [rc, S]
+
+    _, rows = jax.lax.scan(body, None, jnp.arange(s_pad // row_chunk))
+    cd = rows.reshape(s_pad, s_pad)[:s, :s]
+    return cd * (1.0 - jnp.eye(s, dtype=cd.dtype))
+
+
+def pad_superpoints(sp_points_list, max_points=None):
+    """Host helper: ragged list of [Pi, 3] arrays → ([S, P, 3], [S, P] mask).
+
+    Clouds are centered by their *bbox* centroid (min+max)/2, matching
+    sampler2.py:570-573 / fps_gcn_cpu.py:87-89. If max_points caps P, clouds
+    larger than the cap are uniformly subsampled (a controlled approximation —
+    pass None for exact parity with the reference).
+    """
+    import numpy as np
+
+    s = len(sp_points_list)
+    sizes = [len(x) for x in sp_points_list]
+    p = max(sizes)
+    if max_points is not None and p > max_points:
+        p = max_points
+    pts = np.zeros((s, p, 3), np.float32)
+    msk = np.zeros((s, p), bool)
+    for i, x in enumerate(sp_points_list):
+        x = np.asarray(x, np.float32)
+        center = (x.min(axis=0) + x.max(axis=0)) / 2.0
+        x = x - center
+        if len(x) > p:
+            sel = np.linspace(0, len(x) - 1, p).astype(np.int64)
+            x = x[sel]
+        pts[i, : len(x)] = x
+        msk[i, : len(x)] = True
+    return pts, msk

@@ -1,0 +1,95 @@
+"""Vote-smoothed evaluation with possibility scheduling + full-res reprojection.
+
+Parity port of Network.evaluate_test_s3dis (RandLANet.py:290-424):
+  - per-cloud probability accumulators, vote smoothing 0.95·old + 0.05·new
+  - possibility-driven block sampling until every point has been visited
+    (min possibility > 0.5)
+  - sub-cloud confusion rescaled by true class proportions, then probabilities
+    reprojected to the full-resolution points via precomputed 1-NN projection
+    indices (`val_proj`, created at prep time — data_prepare_s3dis.py:68-72)
+  - OA + mIoU (DataProcessing.IoU_from_confusions) on the full clouds
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ssdr_al_tpu.config import Config
+from ssdr_al_tpu.data.cloud import Cloud
+from ssdr_al_tpu.data.dataset import PossibilityEvalPipeline
+from ssdr_al_tpu.train.metrics import confusion_matrix, iou_from_confusion
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, clouds: List[Cloud], *,
+                 val_proj: Optional[List[np.ndarray]] = None,
+                 val_labels: Optional[List[np.ndarray]] = None,
+                 seed: int = 0, max_epochs: int = 100):
+        self.cfg = cfg
+        self.clouds = clouds
+        self.val_proj = val_proj
+        self.val_labels = val_labels
+        self.seed = seed
+        self.max_epochs = max_epochs
+
+    def __call__(self, eval_step, state):
+        """Returns (mIoU, OA). eval_step(state, batch) → (probs, penult)."""
+        cfg = self.cfg
+        pipe = PossibilityEvalPipeline(self.clouds, cfg, seed=self.seed)
+        test_probs = [
+            np.zeros((c.num_points, cfg.num_classes), np.float32)
+            for c in self.clouds
+        ]
+        test_smooth = 0.95
+        last_min = -0.5
+
+        for _ in range(self.max_epochs):
+            for _ in range(cfg.val_steps):
+                batch = pipe.get_batch(cfg.val_batch_size)
+                probs, _ = eval_step(state, batch)
+                probs = np.asarray(probs)  # [B, N, C]
+                for j in range(probs.shape[0]):
+                    ci = int(batch["cloud_idx"][j])
+                    p_idx = batch["point_idx"][j]
+                    test_probs[ci][p_idx] = (
+                        test_smooth * test_probs[ci][p_idx]
+                        + (1 - test_smooth) * probs[j]
+                    )
+                if pipe.global_min > last_min + 1:
+                    break
+            new_min = pipe.global_min
+            if last_min + 1 < new_min:
+                return self._finalize(test_probs)
+        return self._finalize(test_probs)
+
+    def _finalize(self, test_probs):
+        cfg = self.cfg
+        if self.val_proj is not None:
+            # reproject to full resolution (RandLANet.py:375-419)
+            confs = []
+            correct, seen = 0, 0
+            for ci, cloud in enumerate(self.clouds):
+                proj = self.val_proj[ci]
+                labels = self.val_labels[ci]
+                preds = test_probs[ci][proj].argmax(axis=1)
+                correct += int((preds == labels).sum())
+                seen += len(labels)
+                confs.append(confusion_matrix(labels, preds, cfg.num_classes))
+            c = np.sum(confs, axis=0)
+            oa = correct / max(seen, 1)
+        else:
+            # sub-cloud confusion only (synthetic / no-projection datasets)
+            confs = []
+            correct, seen = 0, 0
+            for ci, cloud in enumerate(self.clouds):
+                preds = test_probs[ci].argmax(axis=1)
+                labels = cloud.labels
+                correct += int((preds == labels).sum())
+                seen += len(labels)
+                confs.append(confusion_matrix(labels, preds, cfg.num_classes))
+            c = np.sum(confs, axis=0)
+            oa = correct / max(seen, 1)
+        ious = iou_from_confusion(c.astype(np.float64))
+        return float(np.mean(ious)), float(oa)

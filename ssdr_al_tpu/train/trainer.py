@@ -1,0 +1,249 @@
+"""Training loop: one compiled step (pyramid + forward + loss + backward).
+
+Re-design of Network.train / reset_lr / restore_model
+(SSDR_AL_s3dis/RandLANet.py:106-117, 213-282):
+  - Adam at lr 1e-2 with per-epoch exponential decay (×cfg.lr_decay, matching
+    the lr_decays table in helper_tool.py:68)
+  - activation-masked weighted CE (RandLANet.py:486-503)
+  - per-round optimizer reset (reset_lr, RandLANet.py:213-215 — here a fresh
+    optimizer state per round)
+  - best-mIoU snapshot per round, `snap-<round>` (RandLANet.py:268-271)
+
+TPU-native differences: the whole step is one jit'ed program (the reference
+runs KNN on CPU workers and the model on GPU per step); data parallelism is
+sharding the batch axis over a device mesh — gradients are reduced by XLA
+from the sharding annotations, no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ssdr_al_tpu.config import Config, class_weights as get_class_weights
+from ssdr_al_tpu.models.randlanet import (
+    RandLANet,
+    build_pyramid,
+    label_reduce_table,
+    masked_weighted_ce,
+)
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """lr = lr0 · decay^epoch (helper_tool.py:66-68 + RandLANet.py:257-260)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return cfg.learning_rate * (cfg.lr_decay ** epoch)
+
+    return schedule
+
+
+def create_train_state(
+    model: RandLANet, cfg: Config, rng, sample_batch: Dict[str, np.ndarray],
+    steps_per_epoch: int,
+) -> TrainState:
+    @jax.jit
+    def _init(rng, xyz, features):
+        pyramid = build_pyramid(xyz, cfg)
+        return model.init({"params": rng}, features, pyramid, False)
+
+    variables = _init(
+        rng, jnp.asarray(sample_batch["xyz"]),
+        jnp.asarray(sample_batch["features"]),
+    )
+    tx = optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+
+
+def reset_optimizer(state: TrainState, cfg: Config, steps_per_epoch: int) -> TrainState:
+    """Per-round lr reset (RandLANet.py:213-215): fresh Adam + step counter."""
+    tx = optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+    return TrainState.create(
+        apply_fn=state.apply_fn,
+        params=state.params,
+        batch_stats=state.batch_stats,
+        tx=tx,
+    )
+
+
+def make_train_step(model: RandLANet, cfg: Config,
+                    weights: np.ndarray, knn_engine: str = "xla"):
+    table = (
+        label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
+        if cfg.ignored_label_inds else None
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (logits, _), new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["features"], pyramid, True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            loss, acc = masked_weighted_ce(
+                logits, batch["pseudo"], batch["activation"], batch["labels"],
+                weights, cfg.ignored_label_inds, table,
+            )
+            return loss, (acc, new_state["batch_stats"], batch["activation"].sum())
+
+        (loss, (acc, new_bs, act_sum)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        metrics = {"loss": loss, "accuracy": acc, "activation_sum": act_sum}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "xla"):
+    """Inference: softmax probs + penultimate 32-d features (the tensors the
+    reference exposes as prob_logits / last_second_features, RandLANet.py:84,38)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
+        logits, penult = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"], pyramid, False,
+        )
+        return jax.nn.softmax(logits, axis=-1), penult
+
+    return eval_step
+
+
+# ----------------------------------------------------------- checkpointing ---
+
+
+def save_checkpoint(path: str, state: TrainState):
+    """Serialize params + batch_stats (the reference's tf.train.Saver
+    equivalent, RandLANet.py:92-93). Optimizer state is deliberately NOT
+    saved: the reference also restarts its optimizer each round."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    with open(path, "rb") as f:
+        payload = flax.serialization.from_bytes(payload, f.read())
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )
+
+
+class Trainer:
+    """Round-based trainer mirroring Network.train (RandLANet.py:217-282)."""
+
+    def __init__(self, cfg: Config, dataset_name: str, *, save_dir: str,
+                 knn_engine: str = "xla", log_fn: Callable[[str], None] = print,
+                 steps_per_epoch: Optional[int] = None):
+        self.cfg = cfg
+        self.dataset_name = dataset_name
+        self.save_dir = save_dir
+        self.log = log_fn
+        self.model = RandLANet(cfg)
+        self.weights = get_class_weights(dataset_name)
+        self.steps_per_epoch = steps_per_epoch or cfg.train_steps
+        self.train_step = make_train_step(self.model, cfg, self.weights, knn_engine)
+        self.eval_step = make_eval_step(self.model, cfg, knn_engine)
+        self.state: Optional[TrainState] = None
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------ state ---
+    def init_state(self, sample_batch):
+        self._rng, init_rng = jax.random.split(self._rng)
+        self.state = create_train_state(
+            self.model, self.cfg, init_rng, sample_batch, self.steps_per_epoch
+        )
+        return self.state
+
+    def snapshot_path(self, round_num: int, subdir: Optional[str] = None) -> str:
+        d = os.path.join(self.save_dir, subdir) if subdir else self.save_dir
+        return os.path.join(d, f"snap-{round_num}")
+
+    def restore_model(self, round_num: int):
+        """RandLANet.py:106-117: round 1 restores the seed snapshot."""
+        if round_num == 1:
+            path = self.snapshot_path(1, subdir="seed")
+        else:
+            path = self.snapshot_path(round_num)
+        self.state = restore_checkpoint(path, self.state)
+        self.log(f"Model restored from {path}")
+
+    # ------------------------------------------------------------ train ---
+    def train_round(self, round_num: int, batch_iter_fn,
+                    evaluate_fn=None, *, max_epoch: Optional[int] = None,
+                    snapshot_subdir: Optional[str] = None):
+        """One AL round of training.
+
+        batch_iter_fn(epoch) → iterable of batch dicts (host pipeline).
+        evaluate_fn(eval_step, state) → (miou, oa); called after
+        cfg.eval_start_frac of epochs, best snapshot kept (RandLANet.py:262-271).
+        """
+        cfg = self.cfg
+        max_epoch = max_epoch or cfg.max_epoch
+        state = self.state
+        state = reset_optimizer(state, cfg, self.steps_per_epoch)
+        best_miou, best_oa = 0.0, 0.0
+        self._rng, step_rng = jax.random.split(self._rng)
+
+        for epoch in range(max_epoch):
+            t0 = time.time()
+            losses, accs, act_sum = [], [], 0.0
+            for batch in batch_iter_fn(epoch):
+                state, metrics = self.train_step(state, batch, step_rng)
+                losses.append(metrics["loss"])
+                accs.append(metrics["accuracy"])
+            act_sum = float(metrics["activation_sum"])
+            self.log(
+                f"Round {round_num} | epoch={epoch} "
+                f"L_out={float(jnp.mean(jnp.stack(losses))):.3f} "
+                f"Acc={float(jnp.mean(jnp.stack(accs))):.2f} "
+                f"train costTime={time.time() - t0:.1f}s "
+                f"activation_sum={act_sum:.0f}"
+            )
+            if evaluate_fn is not None and epoch + 1 >= int(max_epoch * cfg.eval_start_frac):
+                t1 = time.time()
+                self.state = state
+                miou, oa = evaluate_fn(self.eval_step, state)
+                if miou > best_miou:
+                    best_miou, best_oa = miou, oa
+                    save_checkpoint(
+                        self.snapshot_path(round_num, snapshot_subdir), state
+                    )
+                self.log(
+                    f"Round {round_num} | Best m_IoU is: {best_miou:.3f}, "
+                    f"OA is: {best_oa:.3f} | val costTime={time.time() - t1:.1f}s"
+                )
+        self.state = state
+        if evaluate_fn is None:
+            save_checkpoint(self.snapshot_path(round_num, snapshot_subdir), state)
+        return best_miou, best_oa

@@ -1,0 +1,86 @@
+"""KNN kernels vs numpy brute-force oracle (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import pytest
+
+from ssdr_al_tpu.ops import knn_pallas, knn_xla
+
+
+def brute_knn(support, query, k):
+    d2 = ((query[:, None, :] - support[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d2, axis=1, kind="stable")[:, :k], np.sort(d2, axis=1)[:, :k]
+
+
+def check_engine(fn, rng, ns, nq, k, batch=2, **kw):
+    support = rng.randn(batch, ns, 3).astype(np.float32)
+    query = rng.randn(batch, nq, 3).astype(np.float32)
+    got = np.asarray(fn(support, query, k, **kw))
+    assert got.shape == (batch, nq, k)
+    for b in range(batch):
+        _, want_d2 = brute_knn(support[b], query[b], k)
+        got_d2 = ((query[b][:, None, :] - support[b][got[b]]) ** 2).sum(-1)
+        # compare distances (ties make index comparison ambiguous)
+        np.testing.assert_allclose(
+            np.sort(got_d2, axis=1), want_d2, rtol=1e-4, atol=1e-5
+        )
+
+
+class TestKnnXLA:
+    def test_small(self, rng):
+        check_engine(knn_xla, rng, ns=100, nq=60, k=8)
+
+    def test_chunked(self, rng):
+        # forces both query and support chunking paths
+        check_engine(knn_xla, rng, ns=1000, nq=700, k=16,
+                     query_chunk=256, support_chunk=256)
+
+    def test_self_query(self, rng):
+        pts = rng.randn(1, 300, 3).astype(np.float32)
+        idx = np.asarray(knn_xla(pts, pts, 1))
+        np.testing.assert_array_equal(idx[0, :, 0], np.arange(300))
+
+    def test_k1_upsample_semantics(self, rng):
+        # up_i = knn(sub_points, all_points, 1) as in s3dis_dataset.py:170
+        sub = rng.randn(1, 64, 3).astype(np.float32)
+        full = rng.randn(1, 256, 3).astype(np.float32)
+        idx = np.asarray(knn_xla(sub, full, 1))
+        d2 = ((full[0][:, None] - sub[0][None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(idx[0, :, 0], d2.argmin(1))
+
+    def test_sorted_by_distance(self, rng):
+        support = rng.randn(1, 500, 3).astype(np.float32)
+        query = rng.randn(1, 100, 3).astype(np.float32)
+        idx = np.asarray(knn_xla(support, query, 16))
+        d2 = ((query[0][:, None, :] - support[0][idx[0]]) ** 2).sum(-1)
+        assert (np.diff(d2, axis=1) >= -1e-6).all()
+
+
+def _on_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(
+    not _on_tpu(),
+    reason="Pallas TPU kernel; interpret mode on this CPU is prohibitively "
+    "slow — the kernel is validated on real TPU by bench.py and by running "
+    "pytest with JAX_PLATFORMS=tpu",
+)
+class TestKnnPallas:
+    def test_matches_oracle(self, rng):
+        check_engine(knn_pallas, rng, ns=512, nq=256, k=16, batch=1,
+                     tile_q=128, tile_s=256)
+
+    def test_padded_sizes(self, rng):
+        check_engine(knn_pallas, rng, ns=300, nq=130, k=8, batch=1,
+                     tile_q=128, tile_s=128)
+
+
+@pytest.mark.parametrize("n,k", [(40960 // 16, 16)])
+def test_layer_shapes_smoke(rng, n, k):
+    """Downsampled layer sizes from ConfigS3DIS compile and run."""
+    pts = rng.randn(1, n, 3).astype(np.float32)
+    idx = np.asarray(knn_xla(pts, pts, k))
+    assert idx.shape == (1, n, k)
+    assert (idx >= 0).all() and (idx < n).all()

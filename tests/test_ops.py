@@ -1,0 +1,248 @@
+"""Unit tests for segment / fps / kcenter / chamfer / geof / grid_subsample
+against numpy oracles mirroring the reference implementations."""
+
+import numpy as np
+
+from ssdr_al_tpu.ops import (
+    chamfer_pairwise,
+    farthest_feature_sample,
+    farthest_superpoint_sample,
+    geometric_features,
+    grid_subsample_np,
+    kcenter_greedy,
+    segment_majority,
+    segment_mean,
+    segment_count,
+)
+from ssdr_al_tpu.ops.chamfer import pad_superpoints
+from ssdr_al_tpu.ops.grid_subsample import grid_subsample_jax
+
+
+# ---------------------------------------------------------------- segment ---
+class TestSegment:
+    def test_mean_and_count(self, rng):
+        vals = rng.randn(100, 4).astype(np.float32)
+        seg = rng.randint(0, 7, 100)
+        got = np.asarray(segment_mean(vals, seg, 7))
+        cnt = np.asarray(segment_count(seg, 7))
+        for s in range(7):
+            m = seg == s
+            np.testing.assert_equal(cnt[s], m.sum())
+            if m.any():
+                np.testing.assert_allclose(got[s], vals[m].mean(0), rtol=1e-5)
+
+    def test_majority_matches_dominant_label(self, rng):
+        # oracle: sampler2.py:102-106 _dominant_label
+        labels = rng.randint(0, 5, 200)
+        seg = rng.randint(0, 9, 200)
+        dom, rate = (np.asarray(x) for x in segment_majority(labels, seg, 9, 5))
+        for s in range(9):
+            m = seg == s
+            if not m.any():
+                continue
+            hist = np.bincount(labels[m], minlength=5)
+            assert dom[s] == hist.argmax()
+            np.testing.assert_allclose(rate[s], hist.max() / m.sum(), rtol=1e-6)
+
+
+# -------------------------------------------------------------------- fps ---
+def np_fps(features, start, n_samples):
+    """Oracle: fps_gcn_cpu.py:119-147."""
+    feats = np.asarray(features, np.float64)
+    centroids = np.zeros(n_samples, np.int64)
+    centroids[0] = start
+    distance = np.full(len(feats), 1e10)
+    for i in range(n_samples - 1):
+        cur = feats[centroids[i]]
+        d = ((feats - cur) ** 2).sum(-1)
+        distance = np.minimum(distance, d)
+        centroids[i + 1] = distance.argmax()
+    return centroids
+
+
+class TestFPS:
+    def test_matches_numpy(self, rng):
+        feats = rng.randn(50, 8).astype(np.float32)
+        got = np.asarray(farthest_feature_sample(feats, 3, 10))
+        want = np_fps(feats, 3, 10)
+        np.testing.assert_array_equal(got, want)
+
+    def test_superpoint_fps_with_extra_distance(self, rng):
+        # oracle: sampler2.py:49-80 with chamfer replaced by a fixed matrix
+        cents = rng.randn(20, 3).astype(np.float32)
+        cd = np.abs(rng.randn(20, 20)).astype(np.float32)
+        cd = (cd + cd.T) / 2
+        np.fill_diagonal(cd, 0)
+        got = np.asarray(farthest_superpoint_sample(cents, cd, 0, 6))
+
+        sel = np.zeros(6, np.int64)
+        dist = np.full(20, 1e10)
+        for i in range(5):
+            ed = ((cents - cents[sel[i]]) ** 2).sum(-1)
+            d = ed + cd[sel[i]]
+            dist = np.minimum(dist, d)
+            sel[i + 1] = dist.argmax()
+        np.testing.assert_array_equal(got, sel)
+
+
+# ---------------------------------------------------------------- kcenter ---
+def np_kcenter(features, labeled_mask, batch):
+    """Oracle: kcenterGreedy.py:60-128."""
+    from sklearn.metrics import pairwise_distances
+
+    feats = np.asarray(features, np.float64)
+    centers = np.where(labeled_mask)[0]
+    min_d = pairwise_distances(feats, feats[centers]).min(1)
+    min_d[labeled_mask] = 0.0
+    picked = []
+    for _ in range(batch):
+        cand = min_d.copy()
+        cand[labeled_mask] = -1
+        ind = cand.argmax()
+        picked.append(ind)
+        min_d = np.minimum(min_d, pairwise_distances(feats, feats[[ind]]).ravel())
+    return np.array(picked)
+
+
+class TestKCenter:
+    def test_matches_sklearn_oracle(self, rng):
+        feats = rng.randn(64, 16).astype(np.float32)
+        mask = np.zeros(64, bool)
+        mask[rng.choice(64, 10, replace=False)] = True
+        got = np.asarray(kcenter_greedy(feats, mask, 8, chunk=32))
+        want = np_kcenter(feats, mask, 8)
+        np.testing.assert_array_equal(got, want)
+        assert not mask[got].any()
+
+
+# ---------------------------------------------------------------- chamfer ---
+def np_chamfer_pairwise(clouds):
+    """Oracle: fps_gcn_cpu.py:12-38 (KDTree replaced by brute force),
+    including bbox-centroid alignment."""
+    aligned = []
+    for c in clouds:
+        center = (c.min(0) + c.max(0)) / 2
+        aligned.append(c - center)
+    s = len(clouds)
+    cd = np.zeros((s, s))
+    for i in range(s):
+        for j in range(s):
+            if i == j:
+                continue
+            d = np.sqrt(((aligned[i][:, None] - aligned[j][None]) ** 2).sum(-1))
+            cd[i, j] = d.min(1).mean() + d.min(0).mean()
+    return cd
+
+
+class TestChamfer:
+    def test_matches_oracle_ragged(self, rng):
+        clouds = [rng.randn(n, 3).astype(np.float32) for n in (17, 5, 30, 11)]
+        pts, msk = pad_superpoints(clouds)
+        got = np.asarray(chamfer_pairwise(pts, msk, row_chunk=2))
+        want = np_chamfer_pairwise(clouds)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_symmetric_zero_diag(self, rng):
+        clouds = [rng.randn(8, 3).astype(np.float32) for _ in range(5)]
+        pts, msk = pad_superpoints(clouds)
+        got = np.asarray(chamfer_pairwise(pts, msk))
+        np.testing.assert_allclose(got, got.T, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.diag(got), 0, atol=1e-6)
+
+
+# ------------------------------------------------------------------- geof ---
+def np_geof(xyz, neighbor_idx):
+    """Oracle: partition/ply_c/ply_c.cpp:385-464."""
+    n, k = neighbor_idx.shape
+    out = np.zeros((n, 4), np.float64)
+    for i in range(n):
+        pos = np.vstack([xyz[i : i + 1], xyz[neighbor_idx[i]]])
+        centered = pos - pos.mean(0)
+        cov = centered.T @ centered / (k + 1)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(-w)
+        lam = np.maximum(w[order], 0)
+        vec = v[:, order]
+        sq = np.sqrt(lam)
+        out[i, 0] = (sq[0] - sq[1]) / sq[0]
+        out[i, 1] = (sq[1] - sq[2]) / sq[0]
+        out[i, 2] = sq[2] / sq[0]
+        unary = (lam[None, :] * np.abs(vec)).sum(1)
+        out[i, 3] = unary[2] / np.linalg.norm(unary)
+    return out
+
+
+class TestGeof:
+    def test_matches_oracle(self, rng):
+        xyz = rng.randn(200, 3).astype(np.float32)
+        d2 = ((xyz[:, None] - xyz[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        nb = np.argsort(d2, 1)[:, :10].astype(np.int32)
+        got = np.asarray(geometric_features(xyz, nb, chunk=64))
+        want = np_geof(xyz, nb)
+        # f32 closed-form vs f64 LAPACK: ~1e-2 jitter on near-degenerate
+        # neighborhoods (the reference's f32 Eigen solver has the same noise)
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+    def test_planar_cloud_is_planar(self, rng):
+        xyz = rng.randn(100, 3).astype(np.float32)
+        xyz[:, 2] = 0.0
+        d2 = ((xyz[:, None] - xyz[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        nb = np.argsort(d2, 1)[:, :15].astype(np.int32)
+        feats = np.asarray(geometric_features(xyz, nb))
+        assert feats[:, 1].mean() > 0.5  # planarity dominates
+        assert feats[:, 2].max() < 0.1   # no scattering
+
+
+# -------------------------------------------------------- grid subsample ---
+def np_grid_oracle(points, labels, grid_size):
+    """Oracle mirroring grid_subsampling.cpp:4-106 voxel semantics."""
+    origin = np.floor(points.min(0) / grid_size) * grid_size
+    ij = np.floor((points - origin) / grid_size).astype(np.int64)
+    vox = {}
+    for p, l, key in zip(points, labels, map(tuple, ij)):
+        vox.setdefault(key, []).append((p, l))
+    pts, labs = [], []
+    for key, items in vox.items():
+        ps = np.array([p for p, _ in items])
+        ls = [l for _, l in items]
+        pts.append(ps.mean(0))
+        labs.append(np.bincount(ls).argmax())
+    return np.array(pts), np.array(labs)
+
+
+class TestGridSubsample:
+    def test_matches_oracle(self, rng):
+        pts = (rng.rand(500, 3) * 2).astype(np.float32)
+        labels = rng.randint(0, 4, 500)
+        sub_pts, sub_lab = grid_subsample_np(pts, labels=labels, grid_size=0.25)
+        want_pts, want_lab = np_grid_oracle(pts, labels, 0.25)
+        # compare as sets (order is implementation-defined in the reference)
+        got = sorted(map(tuple, np.round(sub_pts, 5)))
+        want = sorted(map(tuple, np.round(want_pts, 5)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # labels follow their voxel
+        order_got = np.lexsort(sub_pts.T)
+        order_want = np.lexsort(want_pts.T)
+        np.testing.assert_array_equal(sub_lab[order_got], want_lab[order_want])
+
+    def test_features_mean(self, rng):
+        pts = (rng.rand(300, 3) * 1.5).astype(np.float32)
+        feats = rng.rand(300, 5).astype(np.float32)
+        sub_pts, sub_feat = grid_subsample_np(pts, features=feats, grid_size=0.5)
+        assert sub_feat.shape == (len(sub_pts), 5)
+        assert sub_feat.min() >= 0 and sub_feat.max() <= 1
+
+    def test_jax_matches_np(self, rng):
+        pts = (rng.rand(400, 3) * 2).astype(np.float32)
+        labels = rng.randint(0, 3, 400)
+        sub_pts, sub_lab = grid_subsample_np(pts, labels=labels, grid_size=0.3)
+        jp, _, jl, valid = grid_subsample_jax(
+            pts, 0.3, max_voxels=512, labels=labels, num_classes=3
+        )
+        jp, jl, valid = np.asarray(jp), np.asarray(jl), np.asarray(valid)
+        assert valid.sum() == len(sub_pts)
+        got = sorted(map(tuple, np.round(jp[valid], 5)))
+        want = sorted(map(tuple, np.round(sub_pts, 5)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
