@@ -1,0 +1,117 @@
+"""Benchmark: S3DIS block pipeline (KNN pyramid + RandLA-Net forward) on TPU.
+
+BASELINE.json config (1): "S3DIS Area-5 single 40960-pt block: grid-subsample
++ KNN preproc + RandLA-Net forward". The reference runs the per-layer KNN on
+CPU workers (DP.knn_search via the nanoflann C++ extension, the pipeline's
+documented bottleneck — SURVEY.md §3.2) and the TF1 forward on one GPU; here
+both are one fused XLA program on one TPU chip.
+
+vs_baseline: ratio against a faithful re-execution of the reference's
+host-side tf_map (s3dis_dataset.py:156-183) on this machine — the same 5-layer
+KNN/pool/upsample index computation with a KD-tree backend (sklearn, the same
+algorithmic class as the reference's nanoflann, measured single-core like the
+reference's per-worker cost). The reference's GPU forward time is NOT included
+in the baseline (no TF1/GPU here), making the reported speedup a LOWER bound
+on full-pipeline speedup.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tpu(batch_size: int, warmup: int = 2, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.models.randlanet import RandLANet, build_pyramid
+
+    cfg = ConfigS3DIS
+    model = RandLANet(cfg)
+    rng = np.random.RandomState(0)
+    xyz = (rng.rand(batch_size, cfg.num_points, 3) * 10).astype(np.float32)
+    feats = np.concatenate(
+        [xyz, rng.rand(batch_size, cfg.num_points, 3).astype(np.float32)], -1
+    )
+    xyz_d, feats_d = jnp.asarray(xyz), jnp.asarray(feats)
+
+    @jax.jit
+    def _init(key, xyz, feats):
+        return model.init({"params": key}, feats, build_pyramid(xyz, cfg), False)
+
+    variables = _init(jax.random.PRNGKey(0), xyz_d, feats_d)
+
+    @jax.jit
+    def fwd(xyz, feats):
+        pyr = build_pyramid(xyz, cfg)
+        logits, _ = model.apply(variables, feats, pyr, False)
+        return logits
+
+    def sync(x):
+        # block_until_ready is unreliable on the axon TPU platform — force
+        # completion by pulling a reduction back to the host
+        return float(jnp.sum(x))
+
+    sync(fwd(xyz_d, feats_d))
+    for _ in range(warmup):
+        sync(fwd(xyz_d, feats_d))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(fwd(xyz_d, feats_d))
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size * cfg.num_points / dt
+
+
+def measure_reference_tfmap(batch_size: int = 1):
+    """Reference host-side tf_map re-execution (s3dis_dataset.py:156-183):
+    per layer, KNN(k=16) self-search + 1-NN upsample search with a KD-tree."""
+    from sklearn.neighbors import KDTree
+
+    from ssdr_al_tpu.config import ConfigS3DIS
+
+    cfg = ConfigS3DIS
+    rng = np.random.RandomState(0)
+    xyz = (rng.rand(batch_size, cfg.num_points, 3) * 10).astype(np.float32)
+
+    t0 = time.perf_counter()
+    cur = xyz
+    for i in range(cfg.num_layers):
+        n = cur.shape[1]
+        n_sub = n // cfg.sub_sampling_ratio[i]
+        for b in range(batch_size):
+            tree = KDTree(cur[b])
+            tree.query(cur[b], k=cfg.k_n)                 # neighbour_idx
+        sub = cur[:, :n_sub, :]
+        for b in range(batch_size):
+            tree = KDTree(sub[b])
+            tree.query(cur[b], k=1)                       # up_i
+        cur = sub
+    dt = time.perf_counter() - t0
+    return batch_size * cfg.num_points / dt
+
+
+def main():
+    batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
+    tpu_pps = measure_tpu(batch)
+    ref_pps = measure_reference_tfmap(1)
+    result = {
+        "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
+        "value": round(tpu_pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(tpu_pps / ref_pps, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Per-cloud region graphs for diversity reasoning.
+
+The reference builds one global N×N adjacency over all candidate + anchor
+regions with entries exp(−(ED+CD)) (fps_gcn_cpu.py:40-117) or
+⟨v̂_i, v̂_j⟩·exp(−(ED+CD)) (gcn.py:116-191), where ED/CD are initialized to
+1e10 for pairs from different clouds. exp(−2e10) underflows to exactly 0, so
+the matrix is **block-diagonal by cloud** — a structural fact the reference
+pays O(N²) memory to ignore (the ~19 GB GPU note in run_semantic3d_0.012.sh:15).
+
+Here each cloud's block is built independently on device (chamfer = batched
+matmul kernel, ops/chamfer.py) and blocks are padded into a [C, S, S] tensor:
+identical semantics, memory ∝ Σ s_c² instead of (Σ s_c)².
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
+
+
+@dataclasses.dataclass
+class RegionRef:
+    cloud_name: str
+    sp_idx: int
+    is_labeled: bool
+    dominant_point_ids: np.ndarray
+
+
+@dataclasses.dataclass
+class RegionGraph:
+    """Padded per-cloud blocks + flat bookkeeping.
+
+    refs: flat list of regions; block_of/slot_of map flat index → (cloud
+    block, in-block slot)."""
+
+    refs: List[RegionRef]
+    cloud_names: List[str]
+    block_of: np.ndarray        # [N] int32
+    slot_of: np.ndarray         # [N] int32
+    ed_cd: np.ndarray           # [C, S, S] float32: ED + CD per block
+    mask: np.ndarray            # [C, S] bool
+    features: Optional[np.ndarray] = None   # [N, D] flat region features
+
+    @property
+    def num_regions(self) -> int:
+        return len(self.refs)
+
+
+def bbox_center(points: np.ndarray) -> np.ndarray:
+    """(min+max)/2 per axis — sampler2.py:570-573."""
+    return (points.min(axis=0) + points.max(axis=0)) / 2.0
+
+
+def build_region_graph(
+    regions_by_cloud: Dict[str, List[Tuple[int, bool, np.ndarray]]],
+    cloud_xyz: Dict[str, np.ndarray],
+    components: Dict[str, List[np.ndarray]],
+    *,
+    max_points_per_sp: Optional[int] = None,
+) -> RegionGraph:
+    """regions_by_cloud: {cloud: [(sp_idx, is_labeled, dominant_point_ids)]}.
+
+    Computes per-block ED (centroid Euclidean distance, NOT squared —
+    fps_gcn_cpu.py:96-98) + pairwise chamfer (ops.chamfer, device).
+    """
+    refs: List[RegionRef] = []
+    cloud_names = sorted(regions_by_cloud)
+    s_max = max(len(v) for v in regions_by_cloud.values())
+    c = len(cloud_names)
+    ed_cd = np.zeros((c, s_max, s_max), np.float32)
+    mask = np.zeros((c, s_max), bool)
+    block_of, slot_of = [], []
+
+    for ci, name in enumerate(cloud_names):
+        regs = regions_by_cloud[name]
+        xyz = cloud_xyz[name]
+        comps = components[name]
+        sp_points = [xyz[comps[sp_idx]] for sp_idx, _, _ in regs]
+        centroids = np.stack([bbox_center(p) for p in sp_points])
+        # chamfer on device over padded superpoints
+        pts, msk = pad_superpoints(sp_points, max_points=max_points_per_sp)
+        cd = np.asarray(chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk)))
+        diff = centroids[:, None, :] - centroids[None, :, :]
+        ed = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
+        s = len(regs)
+        ed_cd[ci, :s, :s] = ed + cd
+        mask[ci, :s] = True
+        for slot, (sp_idx, is_labeled, dom_ids) in enumerate(regs):
+            refs.append(RegionRef(name, int(sp_idx), bool(is_labeled), dom_ids))
+            block_of.append(ci)
+            slot_of.append(slot)
+
+    return RegionGraph(
+        refs=refs,
+        cloud_names=cloud_names,
+        block_of=np.asarray(block_of, np.int32),
+        slot_of=np.asarray(slot_of, np.int32),
+        ed_cd=ed_cd,
+        mask=mask,
+    )
+
+
+def flat_to_blocks(graph: RegionGraph, flat: np.ndarray, fill=0.0) -> np.ndarray:
+    """Scatter flat per-region rows [N, D] into padded blocks [C, S, D]."""
+    c, s = graph.mask.shape
+    d = flat.shape[1]
+    out = np.full((c, s, d), fill, flat.dtype)
+    out[graph.block_of, graph.slot_of] = flat
+    return out
+
+
+def blocks_to_flat(graph: RegionGraph, blocks: np.ndarray) -> np.ndarray:
+    """Gather padded blocks [C, S, D] back to flat [N, D]."""
+    return np.asarray(blocks)[graph.block_of, graph.slot_of]

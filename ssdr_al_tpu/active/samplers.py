@@ -1,0 +1,485 @@
+"""AL samplers: Seed / Random / All / T (uncertainty + diversity reasoning).
+
+Orchestrator parity with sampler2.py:344-810, re-built around the TPU
+pipeline: one chunked on-device inference pass per round produces per-point
+predicted classes, uncertainties and penultimate features for ALL training
+clouds; per-superpoint statistics are segment reductions; the diversity stage
+(FPS-GCN / coreGCN / edcd-FPS) runs on padded per-cloud region blocks; only
+the sequential click-budget bookkeeping stays in host Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssdr_al_tpu.active.fps_gcn import gcn_fps_sampling
+from ssdr_al_tpu.active.gcn import gcn_sampling
+from ssdr_al_tpu.active.oracle import (
+    dominant_label,
+    dominant_point_ids,
+    oracle_labeling,
+    seed_labeling,
+)
+from ssdr_al_tpu.active.region_graph import RegionRef, build_region_graph
+from ssdr_al_tpu.active.state import ALState, RoundStats
+from ssdr_al_tpu.active.uncertainty import (
+    add_classbal,
+    add_clsbal,
+    point_uncertainty,
+    region_uncertainty,
+)
+from ssdr_al_tpu.config import Config
+from ssdr_al_tpu.data.cloud import Cloud
+from ssdr_al_tpu.data.dataset import SamplingPipeline
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
+from ssdr_al_tpu.ops.fps import farthest_superpoint_sample
+from ssdr_al_tpu.active.region_graph import bbox_center
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+
+def spread_budget_over_clouds(rng, total_num, number, cloud_names):
+    """Multinomial spread of `number` picks over clouds by index-mod hashing;
+    parity with SeedSampler._iteration (sampler2.py:354-366)."""
+    rand_inds = rng.choice(range(total_num), int(number), replace=False)
+    each = np.zeros(len(cloud_names), np.int64)
+    for ind in rand_inds:
+        each[ind % len(cloud_names)] += 1
+    return each
+
+
+@dataclasses.dataclass
+class CloudInference:
+    """Per-cloud outputs of the selection-time forward pass."""
+
+    prob_class: np.ndarray     # [N] int32 argmax class
+    uncertainty: np.ndarray    # [N] float32
+    penult: np.ndarray         # [N, 32] float16 penultimate features
+
+
+class InferenceRunner:
+    """Chunked whole-cloud inference (the reference's mode='sampling' pass,
+    sampler2.py:580-642 + compute_features:313-342 — fused into ONE pass here,
+    since both consume the same deterministic eval-mode forward)."""
+
+    def __init__(self, cfg: Config, clouds: List[Cloud], eval_step, state,
+                 point_unc_mode: str, seed: int = 0):
+        self.cfg = cfg
+        self.clouds = {c.name: c for c in clouds}
+        self.eval_step = eval_step
+        self.state = state
+        self.mode = point_unc_mode
+        self.pipe = SamplingPipeline(clouds, cfg, seed=seed)
+
+        @jax.jit
+        def _reduce(probs):
+            unc = point_uncertainty(probs, point_unc_mode)
+            cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return cls, unc
+
+        self._reduce = _reduce
+
+    def run(self, cloud: Cloud) -> CloudInference:
+        n = cloud.num_points
+        prob_class = np.zeros(n, np.int32)
+        unc = np.zeros(n, np.float32)
+        penult = np.zeros((n, 32), np.float16)
+        for batch, idx, valid in self.pipe.cloud_chunks(cloud):
+            probs, feats = self.eval_step(self.state, batch)
+            cls, u = self._reduce(probs)
+            cls, u, feats = (np.asarray(cls)[0], np.asarray(u)[0],
+                             np.asarray(feats)[0])
+            prob_class[idx[:valid]] = cls[:valid]
+            unc[idx[:valid]] = u[:valid]
+            penult[idx[:valid]] = feats[:valid].astype(np.float16)
+        return CloudInference(prob_class, unc, penult)
+
+
+# --------------------------------------------------------------------------
+# SeedSampler — random precise labeling (sampler2.py:344-408)
+# --------------------------------------------------------------------------
+
+
+class SeedSampler:
+    def __init__(self, state: ALState, clouds: List[Cloud], total_num: int,
+                 seed: int = 0):
+        self.state = state
+        self.clouds = {c.name: c for c in clouds}
+        self.total_num = total_num
+        self.rng = np.random.RandomState(seed)
+
+    def sampling(self, batch_size: int, last_round: int, stats: RoundStats):
+        round_dir = self.state.begin_round(last_round, seed_from_superpoint=True)
+        total_obj = self.state.load_registry(round_dir)
+        self._iteration(round_dir, total_obj, batch_size, stats)
+
+    def _iteration(self, round_dir, total_obj, number, stats):
+        remain = 0
+        cloud_names = list(total_obj["unlabeled"])
+        each = spread_budget_over_clouds(self.rng, self.total_num, number, cloud_names)
+        for i, name in enumerate(cloud_names):
+            if each[i] == 0:
+                continue
+            unl = total_obj["unlabeled"][name]
+            if len(unl) >= each[i]:
+                sp_inds = self.rng.choice(list(unl), int(each[i]), replace=False)
+            else:
+                sp_inds = list(unl)
+                remain += each[i] - len(sp_inds)
+            sp = self.state.load_superpoints(name)
+            pseudo_gt = self.state.load_pseudo_gt(round_dir, name)
+            input_gt = self.clouds[name].labels
+            seed_labeling(sp_inds, sp.components, input_gt, pseudo_gt, stats)
+            self.state.write_pseudo_gt(round_dir, name, pseudo_gt)
+            self.state.mark_labeled(total_obj, name, sp_inds)
+        if remain == 0 or not total_obj["unlabeled"]:
+            self.state.write_registry(total_obj, round_dir)
+        else:
+            self._iteration(round_dir, total_obj, remain, stats)
+
+
+# --------------------------------------------------------------------------
+# AllSampler — label everything (baseline / max-dominant, sampler2.py:410-453)
+# --------------------------------------------------------------------------
+
+
+class AllSampler:
+    def __init__(self, state: ALState, clouds: List[Cloud], total_num: int,
+                 oracle_mode: str = "dominant"):
+        self.state = state
+        self.clouds = {c.name: c for c in clouds}
+        self.total_num = total_num
+        self.oracle_mode = oracle_mode
+
+    def sampling(self, batch_size: int, last_round: int, stats: RoundStats,
+                 threshold: float = 0.9):
+        budget = {"click": batch_size}
+        round_dir = self.state.begin_round(
+            last_round, seed_from_superpoint=(last_round == 1)
+        )
+        total_obj = self.state.load_registry(round_dir)
+        for name in list(total_obj["unlabeled"]):
+            sp = self.state.load_superpoints(name)
+            pseudo_gt = self.state.load_pseudo_gt(round_dir, name)
+            input_gt = self.clouds[name].labels
+            sp_inds = list(total_obj["unlabeled"][name])
+            pseudo_gt, used = oracle_labeling(
+                sp_inds, sp.components, input_gt, pseudo_gt, stats,
+                self.oracle_mode, None, threshold, budget, 1,
+                total_obj["selected_class_list"],
+            )
+            self.state.write_pseudo_gt(round_dir, name, pseudo_gt)
+            self.state.mark_labeled(total_obj, name, used)
+        self.state.write_registry(total_obj, round_dir)
+
+
+# --------------------------------------------------------------------------
+# RandomSampler (sampler2.py:455-520)
+# --------------------------------------------------------------------------
+
+
+class RandomSampler:
+    def __init__(self, state: ALState, clouds: List[Cloud], total_num: int,
+                 min_size: int, oracle_mode: str = "dominant", seed: int = 0):
+        self.state = state
+        self.clouds = {c.name: c for c in clouds}
+        self.total_num = total_num
+        self.min_size = min_size
+        self.oracle_mode = oracle_mode
+        self.rng = np.random.RandomState(seed)
+
+    def sampling(self, batch_size: int, last_round: int, stats: RoundStats,
+                 threshold: float = 0.9):
+        budget = {"click": batch_size}
+        round_dir = self.state.begin_round(last_round, from_seed_round=True)
+        total_obj = self.state.load_registry(round_dir)
+        self._iteration(round_dir, total_obj, stats, threshold, budget)
+
+    def _iteration(self, round_dir, total_obj, stats, threshold, budget):
+        cloud_names = list(total_obj["unlabeled"])
+        each = spread_budget_over_clouds(
+            self.rng, self.total_num, budget["click"], cloud_names
+        )
+        for i, name in enumerate(cloud_names):
+            if each[i] == 0:
+                continue
+            unl = list(total_obj["unlabeled"][name])
+            if len(unl) >= each[i]:
+                sp_inds = self.rng.choice(unl, int(each[i]), replace=False)
+            else:
+                sp_inds = unl
+            sp = self.state.load_superpoints(name)
+            pseudo_gt = self.state.load_pseudo_gt(round_dir, name)
+            input_gt = self.clouds[name].labels
+            pseudo_gt, used = oracle_labeling(
+                sp_inds, sp.components, input_gt, pseudo_gt, stats,
+                self.oracle_mode, None, threshold, budget, self.min_size,
+                total_obj["selected_class_list"],
+            )
+            self.state.write_pseudo_gt(round_dir, name, pseudo_gt)
+            self.state.mark_labeled(total_obj, name, used)
+        if budget["click"] == 0 or not total_obj["unlabeled"]:
+            self.state.write_registry(total_obj, round_dir)
+        else:
+            self._iteration(round_dir, total_obj, stats, threshold, budget)
+
+
+# --------------------------------------------------------------------------
+# TSampler — uncertainty + diversity reasoning (sampler2.py:522-810)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TSamplerArgs:
+    point_uncertainty_mode: str = "sb"       # lc | entropy | sb
+    uncertainty_mode: str = "WetSU"          # mean | sum_weight | WetSU
+    oracle_mode: str = "NAIL"                # dominant | NAIL
+    class_balance: str = "clsbal"            # "" | classbal | clsbal
+    diversity: str = "gcn_fps"               # "" | edcd | gcn | gcn_fps
+    threshold: float = 0.9
+    min_size: int = 1
+    gcn_number: int = 1
+    gcn_top: int = 0
+
+
+class TSampler:
+    def __init__(self, state: ALState, clouds: List[Cloud], cfg: Config,
+                 args: TSamplerArgs, total_num: int, seed: int = 0):
+        self.state = state
+        self.clouds = clouds
+        self.cloud_by_name = {c.name: c for c in clouds}
+        self.cfg = cfg
+        self.args = args
+        self.total_num = total_num
+        self.rng = np.random.RandomState(seed)
+
+    # -------------------------------------------------------- prediction ---
+    def prediction(self, eval_step, model_state, total_obj, round_num,
+                   stats: RoundStats):
+        """One inference pass over all training clouds → scored unlabeled
+        regions + labeled-region registry (sampler2.py:580-642)."""
+        a = self.args
+        runner = InferenceRunner(
+            self.cfg, self.clouds, eval_step, model_state,
+            a.point_uncertainty_mode, seed=self.rng.randint(1 << 31),
+        )
+        region_unc: List[float] = []
+        region_class: List[int] = []
+        unlabeled_refs: List[RegionRef] = []
+        labeled_by_cloud: Dict[str, List[int]] = {}
+        inference: Dict[str, CloudInference] = {}
+
+        for cloud in self.clouds:
+            name = cloud.name
+            inf = runner.run(cloud)
+            inference[name] = inf
+            sp = self.state.load_superpoints(name)
+            s = sp.num_superpoints
+            seg = jnp.asarray(sp.in_component)
+            runc = np.asarray(region_uncertainty(
+                jnp.asarray(inf.uncertainty), jnp.asarray(inf.prob_class),
+                seg, s, self.cfg.num_classes, a.uncertainty_mode,
+            ))
+            unl_set = set(total_obj["unlabeled"].get(name, ()))
+            for sp_idx in range(s):
+                pids = sp.components[sp_idx]
+                if len(pids) < a.min_size:
+                    continue
+                if sp_idx in unl_set:
+                    do_label, dom_ids = dominant_point_ids(
+                        pids, inf.prob_class[pids]
+                    )
+                    region_unc.append(float(runc[sp_idx]))
+                    region_class.append(do_label)
+                    unlabeled_refs.append(
+                        RegionRef(name, sp_idx, False, dom_ids)
+                    )
+                else:
+                    labeled_by_cloud.setdefault(name, []).append(sp_idx)
+
+        region_unc = np.asarray(region_unc)
+        if a.class_balance == "classbal":
+            region_unc = add_classbal(self.cfg.num_classes, region_class, region_unc)
+        elif a.class_balance == "clsbal":
+            region_unc = add_clsbal(
+                self.cfg.num_classes, region_class, region_unc,
+                total_obj["selected_class_list"],
+            )
+        sorted_inds = np.argsort(-region_unc)
+        return unlabeled_refs, sorted_inds, inference, labeled_by_cloud
+
+    # ------------------------------------------------------------ anchors ---
+    def select_labeled_anchors(self, labeled_by_cloud, round_num):
+        """Class-weighted random anchor sample of labeled superpoints,
+        capped at (round_num−1)·1000 (sampler2.py:268-311)."""
+        dominant_labels = []
+        refs = []
+        for name, sp_list in labeled_by_cloud.items():
+            sp = self.state.load_superpoints(name)
+            labels = self.cloud_by_name[name].labels
+            for sp_idx in sp_list:
+                pids = sp.components[sp_idx]
+                dl, dom_ids = dominant_point_ids(pids, labels[pids])
+                dominant_labels.append(dl)
+                refs.append(RegionRef(name, sp_idx, True, dom_ids))
+        if not refs:
+            return []
+        from ssdr_al_tpu.active.uncertainty import _class_frequency_weights
+
+        w = _class_frequency_weights(dominant_labels, self.cfg.num_classes)
+        p = w / w.sum()
+        batch = min((round_num - 1) * 1000, len(refs))
+        sel = self.rng.choice(len(refs), batch, replace=False, p=p)
+        return [refs[i] for i in sel]
+
+    # ----------------------------------------------------------- sampling ---
+    def sampling(self, eval_step, model_state, batch_size, last_round,
+                 stats: RoundStats):
+        a = self.args
+        budget = {"click": batch_size}
+        round_dir = self.state.begin_round(last_round, from_seed_round=True)
+        total_obj = self.state.load_registry(round_dir)
+        round_num = last_round + 1
+
+        unl_refs, sorted_inds, inference, labeled_by_cloud = self.prediction(
+            eval_step, model_state, total_obj, round_num, stats
+        )
+        batch_size = min(batch_size, len(unl_refs))
+        budget["click"] = min(budget["click"], len(unl_refs)) or budget["click"]
+        budget["click"] = batch_size
+
+        if a.diversity == "edcd":
+            file_list = self._edcd_selection(unl_refs, sorted_inds, batch_size, stats)
+        elif a.diversity in ("gcn", "gcn_fps"):
+            file_list = self._graph_selection(
+                unl_refs, sorted_inds, labeled_by_cloud, inference,
+                batch_size, round_num, stats,
+            )
+        else:
+            file_list = {}
+            for i in sorted_inds[:batch_size]:
+                r = unl_refs[i]
+                file_list.setdefault(r.cloud_name, []).append(r.sp_idx)
+
+        self._record_selection_stats(file_list, total_obj, stats)
+        for name, sp_inds in file_list.items():
+            sp = self.state.load_superpoints(name)
+            pseudo_gt = self.state.load_pseudo_gt(round_dir, name)
+            input_gt = self.cloud_by_name[name].labels
+            pseudo_gt, used = oracle_labeling(
+                sp_inds, sp.components, input_gt, pseudo_gt, stats,
+                a.oracle_mode, inference[name].prob_class, a.threshold,
+                budget, a.min_size, total_obj["selected_class_list"],
+            )
+            self.state.write_pseudo_gt(round_dir, name, pseudo_gt)
+            self.state.mark_labeled(total_obj, name, used)
+        self.state.write_registry(total_obj, round_dir)
+
+    # ------------------------------------------------------------ branches ---
+    def _top_candidates(self, unl_refs, sorted_inds, batch_size):
+        """file_list_top (B best) and per-cloud 2·B candidate pools
+        (sampler2.py:533-552 + 697-705)."""
+        top_by_cloud: Dict[str, List[RegionRef]] = {}
+        all_by_cloud: Dict[str, List[RegionRef]] = {}
+        for rank, i in enumerate(sorted_inds):
+            r = unl_refs[i]
+            if rank < batch_size:
+                top_by_cloud.setdefault(r.cloud_name, []).append(r)
+            all_by_cloud.setdefault(r.cloud_name, []).append(r)
+        candidates: Dict[str, List[RegionRef]] = {}
+        for name, tops in top_by_cloud.items():
+            candidates[name] = all_by_cloud[name][: 2 * len(tops)]
+        return top_by_cloud, candidates
+
+    def _edcd_selection(self, unl_refs, sorted_inds, batch_size, stats):
+        """Per-cloud FPS over ED²+chamfer (sampler2.py:670-685, 554-578)."""
+        top_by_cloud, candidates = self._top_candidates(
+            unl_refs, sorted_inds, batch_size
+        )
+        stats.extra["before_gcn_file_num"] = len(top_by_cloud)
+        file_list: Dict[str, List[int]] = {}
+        for name, tops in top_by_cloud.items():
+            cands = candidates[name]
+            xyz = self.cloud_by_name[name].xyz
+            sp = self.state.load_superpoints(name)
+            sp_points = [xyz[sp.components[r.sp_idx]] for r in cands]
+            cents = np.stack([bbox_center(p) for p in sp_points])
+            pts, msk = pad_superpoints(sp_points)
+            cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
+            sel = np.asarray(farthest_superpoint_sample(
+                jnp.asarray(cents), cd, 0, len(tops)
+            ))
+            file_list[name] = [cands[i].sp_idx for i in sel]
+        return file_list
+
+    def _graph_selection(self, unl_refs, sorted_inds, labeled_by_cloud,
+                         inference, batch_size, round_num, stats):
+        """gcn / gcn_fps branches (sampler2.py:687-781)."""
+        a = self.args
+        top_by_cloud, candidates = self._top_candidates(
+            unl_refs, sorted_inds, batch_size
+        )
+        stats.extra["before_gcn_file_num"] = len(top_by_cloud)
+        anchors = self.select_labeled_anchors(labeled_by_cloud, round_num)
+        sampling_batch = sum(len(v) for v in top_by_cloud.values())
+
+        regions_by_cloud: Dict[str, list] = {}
+        flat_refs: List[RegionRef] = []
+        for name, cands in candidates.items():
+            for r in cands:
+                regions_by_cloud.setdefault(name, []).append(
+                    (r.sp_idx, False, r.dominant_point_ids)
+                )
+                flat_refs.append(r)
+        for r in anchors:
+            regions_by_cloud.setdefault(r.cloud_name, []).append(
+                (r.sp_idx, True, r.dominant_point_ids)
+            )
+            flat_refs.append(r)
+
+        cloud_xyz = {n: self.cloud_by_name[n].xyz for n in regions_by_cloud}
+        components = {
+            n: self.state.load_superpoints(n).components for n in regions_by_cloud
+        }
+        graph = build_region_graph(regions_by_cloud, cloud_xyz, components)
+
+        # region features: mean penultimate feature over dominant point ids
+        # (compute_features, sampler2.py:313-342) — reusing the pass-1 features
+        feats = np.zeros((graph.num_regions, 32), np.float32)
+        unlabeled_flags = np.zeros(graph.num_regions, bool)
+        for i, ref in enumerate(graph.refs):
+            pen = inference.get(ref.cloud_name)
+            if pen is None:
+                # anchor cloud not among candidate clouds: run features lazily
+                # (rare; anchors live in labeled clouds which were all inferred)
+                raise RuntimeError(f"missing inference for {ref.cloud_name}")
+            feats[i] = pen.penult[ref.dominant_point_ids].astype(np.float32).mean(0)
+            unlabeled_flags[i] = not ref.is_labeled
+
+        if a.diversity == "gcn_fps":
+            return gcn_fps_sampling(
+                graph, feats, unlabeled_flags, sampling_batch,
+                gcn_number=a.gcn_number, gcn_top=a.gcn_top, rng=self.rng,
+            )
+        return gcn_sampling(
+            graph, feats, unlabeled_flags, sampling_batch,
+            seed=int(self.rng.randint(1 << 31)),
+        )
+
+    def _record_selection_stats(self, file_list, total_obj, stats):
+        """w['gcn_file_num'/'gcn_sp_num'/'gcn_unlabel_num'] (sampler2.py:765-772)."""
+        stats.extra["gcn_file_num"] = len(file_list)
+        stats.extra["gcn_sp_num"] = sum(len(v) for v in file_list.values())
+        n_unl = 0
+        for name, sps in file_list.items():
+            unl = total_obj["unlabeled"].get(name, ())
+            n_unl += sum(1 for s in sps if s in unl)
+        stats.extra["gcn_unlabel_num"] = n_unl

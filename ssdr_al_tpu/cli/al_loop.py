@@ -1,0 +1,162 @@
+"""The closed-loop AL driver: restore → select → label → retrain, per round.
+
+Flag parity with ssdr_main_S3DIS2.py:10-157 (sampler, point_uncertainty_mode,
+uncertainty_mode, oracle_mode, classbal, edcd, gcn, gcn_fps, gcn_number,
+gcn_top, threshold, min_size, t, reg_strength, round). The full SSDR method is
+    --sampler T --point_uncertainty_mode sb --classbal 2 \
+    --uncertainty_mode WetSU --oracle_mode NAIL --gcn_fps 1
+(run_sota_comparison.sh:14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ssdr_al_tpu.active.samplers import RandomSampler, TSampler, TSamplerArgs
+from ssdr_al_tpu.active.state import RoundStats
+from ssdr_al_tpu.cli.common import (
+    add_common_args,
+    log_out,
+    make_record_file,
+    make_trainer,
+    make_training_pipeline,
+    pseudo_gt_for_round,
+    setup_experiment,
+)
+from ssdr_al_tpu.train.evaluator import Evaluator
+
+
+def build_sampler_args(args) -> list:
+    """The experiment-ID list (ssdr_main_S3DIS2.py:91-127)."""
+    t = f"t{args.t}"
+    if args.sampler == "random":
+        return [t, "random", args.oracle_mode, str(args.threshold),
+                str(args.min_size), str(args.gcn_number), str(args.gcn_top)]
+    sa = [t, args.point_uncertainty_mode]
+    if args.classbal == 1:
+        sa.append("classbal")
+    elif args.classbal == 2:
+        sa.append("clsbal")
+    if args.edcd:
+        sa.append("edcd")
+    if args.gcn:
+        sa.append("gcn")
+    if args.gcn_fps:
+        sa.append("gcn_fps")
+    sa += [args.uncertainty_mode, args.oracle_mode, str(args.threshold),
+           str(args.min_size), str(args.gcn_number), str(args.gcn_top)]
+    return sa
+
+
+def run_al_loop(args):
+    exp = setup_experiment(args)
+    sampler_args = build_sampler_args(args)
+    state = exp.make_state(sampler_args)
+    record = make_record_file(args, sampler_args)
+
+    total_obj = state.load_registry()
+    total_sp_num = total_obj["sp_num"]
+    log_out(f"total_sp_num {total_sp_num}", record)
+
+    diversity = ""
+    if args.edcd:
+        diversity = "edcd"
+    elif args.gcn:
+        diversity = "gcn"
+    elif args.gcn_fps:
+        diversity = "gcn_fps"
+
+    if args.sampler == "random":
+        sampler = RandomSampler(
+            state, exp.train_clouds, total_sp_num, args.min_size,
+            oracle_mode=args.oracle_mode, seed=args.t,
+        )
+    else:
+        sampler = TSampler(
+            state, exp.train_clouds, exp.cfg,
+            TSamplerArgs(
+                point_uncertainty_mode=args.point_uncertainty_mode,
+                uncertainty_mode=args.uncertainty_mode,
+                oracle_mode=args.oracle_mode,
+                class_balance={0: "", 1: "classbal", 2: "clsbal"}[args.classbal],
+                diversity=diversity,
+                threshold=args.threshold,
+                min_size=args.min_size,
+                gcn_number=args.gcn_number,
+                gcn_top=args.gcn_top,
+            ),
+            total_sp_num, seed=args.t,
+        )
+
+    trainer = make_trainer(exp, sampler_args, args.knn_engine)
+    pipe0 = make_training_pipeline(exp)
+    trainer.init_state(pipe0.sample_batch(exp.cfg.batch_size))
+    evaluate = Evaluator(exp.cfg, exp.val_clouds)
+
+    sp_batch_size = args.sp_batch_size or exp.cfg.sp_batch_size
+    last = args.rounds if args.rounds else exp.cfg.al_rounds[1]
+
+    for r in range(args.round, last + 1):
+        trainer.restore_model(r - 1)
+        t0 = time.time()
+        stats = RoundStats()
+        if args.sampler == "random":
+            sampler.sampling(sp_batch_size, r - 1, stats,
+                             threshold=args.threshold)
+        else:
+            sampler.sampling(trainer.eval_step, trainer.state, sp_batch_size,
+                             r - 1, stats)
+        regions = max(stats.sp_num + stats.split_sp_num, 1)
+        points = stats.p_num + stats.sub_p_num
+        log_out(
+            f"round= {r} | labeling mean point={points / regions:.1f}, "
+            f"{stats}, costTime={time.time() - t0:.1f}",
+            record,
+        )
+
+        t0 = time.time()
+        round_dir = state.round_dir(r)
+        pipe = make_training_pipeline(exp, pseudo_gt=pseudo_gt_for_round(state, round_dir, exp.train_clouds), seed=r)
+        miou, oa = trainer.train_round(
+            r, lambda epoch: pipe.batches(exp.cfg.train_steps, exp.cfg.batch_size),
+            evaluate,
+        )
+        log_out(
+            f"round= {r} | best_miou= {miou:.4f}, best_OA= {oa:.4f}, "
+            f"costTime={time.time() - t0:.1f}",
+            record,
+        )
+    record.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="active-learning loop")
+    add_common_args(p)
+    p.add_argument("--sampler", type=str, default="T", choices=["random", "T"])
+    p.add_argument("--round", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=0,
+                   help="last round (0 = dataset default 33)")
+    p.add_argument("--classbal", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--edcd", type=int, default=0, choices=[0, 1])
+    p.add_argument("--gcn", type=int, default=0, choices=[0, 1])
+    p.add_argument("--gcn_fps", type=int, default=0, choices=[0, 1])
+    p.add_argument("--gcn_number", type=int, default=1)
+    p.add_argument("--gcn_top", type=int, default=0)
+    p.add_argument("--uncertainty_mode", type=str, default="mean",
+                   choices=["mean", "sum_weight", "WetSU"])
+    p.add_argument("--point_uncertainty_mode", type=str, default="entropy",
+                   choices=["lc", "sb", "entropy"])
+    p.add_argument("--oracle_mode", type=str, default="dominant",
+                   choices=["dominant", "NAIL"])
+    p.add_argument("--threshold", type=float, default=0.9)
+    p.add_argument("--min_size", type=int, default=1)
+    p.add_argument("--t", type=int, default=0)
+    p.add_argument("--sp_batch_size", type=int, default=0,
+                   help="clicks per round (0 = dataset default)")
+    args = p.parse_args(argv)
+    run_al_loop(args)
+
+
+if __name__ == "__main__":
+    main()

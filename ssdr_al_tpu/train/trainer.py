@@ -86,7 +86,7 @@ def reset_optimizer(state: TrainState, cfg: Config, steps_per_epoch: int) -> Tra
 
 
 def make_train_step(model: RandLANet, cfg: Config,
-                    weights: np.ndarray, knn_engine: str = "xla"):
+                    weights: np.ndarray, knn_engine: str = "approx"):
     table = (
         label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
         if cfg.ignored_label_inds else None
@@ -121,7 +121,7 @@ def make_train_step(model: RandLANet, cfg: Config,
     return train_step
 
 
-def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "xla"):
+def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "approx"):
     """Inference: softmax probs + penultimate 32-d features (the tensors the
     reference exposes as prob_logits / last_second_features, RandLANet.py:84,38)."""
 
@@ -163,11 +163,13 @@ class Trainer:
     """Round-based trainer mirroring Network.train (RandLANet.py:217-282)."""
 
     def __init__(self, cfg: Config, dataset_name: str, *, save_dir: str,
-                 knn_engine: str = "xla", log_fn: Callable[[str], None] = print,
+                 seed_save_dir: Optional[str] = None,
+                 knn_engine: str = "approx", log_fn: Callable[[str], None] = print,
                  steps_per_epoch: Optional[int] = None):
         self.cfg = cfg
         self.dataset_name = dataset_name
         self.save_dir = save_dir
+        self.seed_save_dir = seed_save_dir
         self.log = log_fn
         self.model = RandLANet(cfg)
         self.weights = get_class_weights(dataset_name)
@@ -190,9 +192,10 @@ class Trainer:
         return os.path.join(d, f"snap-{round_num}")
 
     def restore_model(self, round_num: int):
-        """RandLANet.py:106-117: round 1 restores the seed snapshot."""
-        if round_num == 1:
-            path = self.snapshot_path(1, subdir="seed")
+        """RandLANet.py:106-117: round 1 restores the seed snapshot (stored
+        under the seed experiment's own saver dir, as the reference does)."""
+        if round_num == 1 and self.seed_save_dir:
+            path = os.path.join(self.seed_save_dir, "snap-1")
         else:
             path = self.snapshot_path(round_num)
         self.state = restore_checkpoint(path, self.state)

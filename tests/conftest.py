@@ -8,7 +8,7 @@ TPU path is exercised by bench.py / __graft_entry__.py.
 import os
 
 # Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon TPU plugin (loaded by sitecustomize on this image) forces
+# jax_platforms="axon,cpu" at interpreter startup, overriding the env var —
+# force it back so the suite runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: model/kernel compiles dominate test wall-clock
 # on this host; cache them across runs.

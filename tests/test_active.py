@@ -1,0 +1,277 @@
+"""AL engine tests: uncertainty, oracle bookkeeping, state store, FPS-GCN."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssdr_al_tpu.active.oracle import (
+    dominant_label,
+    oracle_labeling,
+    seed_labeling,
+    sub_regions_by_predicted_class,
+)
+from ssdr_al_tpu.active.state import ALState, RoundStats, sampler_args_str
+from ssdr_al_tpu.active.uncertainty import (
+    add_classbal,
+    add_clsbal,
+    point_uncertainty,
+    region_uncertainty,
+)
+
+
+# ----------------------------------------------------------- uncertainty ---
+def np_region_unc(unc, cls, seg, s, c, mode):
+    """Oracle: sampler2.py:12-26 per-region loop."""
+    out = np.zeros(s)
+    for i in range(s):
+        m = seg == i
+        if not m.any():
+            continue
+        u, k = unc[m], cls[m]
+        if mode == "mean":
+            out[i] = u.mean()
+        elif mode == "sum_weight":
+            dist = np.bincount(k, minlength=c) / len(k)
+            out[i] = (dist[k] * u).sum()
+        elif mode == "WetSU":
+            d = np.bincount(k, minlength=c).argmax()
+            eq = (k == d).astype(float)
+            out[i] = (u * eq).sum() - (u * (1 - eq)).sum()
+    return out
+
+
+class TestUncertainty:
+    def test_point_modes_match_numpy(self, rng):
+        p = rng.rand(100, 7).astype(np.float32)
+        p /= p.sum(1, keepdims=True)
+        # lc
+        np.testing.assert_allclose(
+            np.asarray(point_uncertainty(p, "lc")), 1 - p.max(1), rtol=1e-6
+        )
+        # entropy (0 log 0 = 0)
+        ent = -(p * np.where(p > 0, np.log2(p), 0)).sum(1)
+        np.testing.assert_allclose(
+            np.asarray(point_uncertainty(p, "entropy")), ent, rtol=1e-4
+        )
+        # sb
+        srt = np.sort(p, 1)
+        np.testing.assert_allclose(
+            np.asarray(point_uncertainty(p, "sb")), srt[:, -2] / srt[:, -1],
+            rtol=1e-5,
+        )
+
+    @pytest.mark.parametrize("mode", ["mean", "sum_weight", "WetSU"])
+    def test_region_modes_match_numpy(self, rng, mode):
+        n, s, c = 300, 11, 5
+        unc = rng.rand(n).astype(np.float32)
+        cls = rng.randint(0, c, n)
+        seg = rng.randint(0, s, n)
+        got = np.asarray(region_uncertainty(
+            jnp.asarray(unc), jnp.asarray(cls), jnp.asarray(seg), s, c, mode
+        ))
+        want = np_region_unc(unc, cls, seg, s, c, mode)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_classbal_matches_reference_formula(self, rng):
+        c = 4
+        region_class = rng.randint(0, c, 50)
+        unc = rng.rand(50)
+        got = add_classbal(c, region_class, unc)
+        dist = np.bincount(region_class, minlength=c) / 50
+        want = unc * np.exp(-dist[region_class])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_clsbal_counts_history(self, rng):
+        c = 3
+        region_class = np.array([0, 1, 2, 0])
+        unc = np.ones(4)
+        hist = [0, 0, 0, 0, 0]  # five past class-0 selections
+        got = add_clsbal(c, region_class, unc, hist)
+        # class 0 is now much more frequent → lower weight
+        assert got[0] < got[1] and got[0] < got[2]
+
+
+# ----------------------------------------------------------------- oracle ---
+def make_cloud_partition(rng, n=200, n_sp=10, c=4):
+    seg = rng.randint(0, n_sp, n)
+    components = [np.where(seg == i)[0] for i in range(n_sp)]
+    gt = rng.randint(0, c, n)
+    return components, gt
+
+
+class TestOracle:
+    def test_dominant_budget_conservation(self, rng):
+        components, gt = make_cloud_partition(rng)
+        pseudo = np.zeros((2, 200), np.float32)
+        stats = RoundStats()
+        budget = {"click": 4}
+        sel = []
+        _, used = oracle_labeling(
+            list(range(10)), components, gt, pseudo, stats, "dominant",
+            None, 0.9, budget, 1, sel,
+        )
+        assert budget["click"] == 0
+        assert len(used) == 4 == stats.sp_num == len(sel)
+        # activation monotone + labels constant per region
+        for sp in used:
+            pids = components[sp]
+            assert (pseudo[0][pids] == 1).all()
+            assert len(np.unique(pseudo[1][pids])) == 1
+            assert pseudo[1][pids][0] == dominant_label(gt[pids])[0]
+
+    def test_min_size_skips_without_spending(self, rng):
+        components = [np.array([0]), np.arange(1, 50)]
+        gt = np.zeros(50, np.int64)
+        pseudo = np.zeros((2, 50), np.float32)
+        stats = RoundStats()
+        budget = {"click": 5}
+        _, used = oracle_labeling(
+            [0, 1], components, gt, pseudo, stats, "dominant",
+            None, 0.9, budget, 2, [],
+        )
+        assert used == [1]
+        assert budget["click"] == 4
+
+    def test_nail_pure_region_behaves_like_dominant(self, rng):
+        components, _ = make_cloud_partition(rng)
+        gt = np.zeros(200, np.int64)  # perfectly pure
+        pseudo = np.zeros((2, 200), np.float32)
+        stats = RoundStats()
+        budget = {"click": 3}
+        _, used = oracle_labeling(
+            list(range(10)), components, gt, pseudo, stats, "NAIL",
+            np.zeros(200, np.int64), 0.9, budget, 1, [],
+        )
+        assert stats.sp_num == 3 and stats.ignore_sp_num == 0
+        assert budget["click"] == 0
+
+    def test_nail_splits_impure_region(self, rng):
+        # one superpoint, half class 0 / half class 1, predictions match gt
+        components = [np.arange(100)]
+        gt = np.array([0] * 50 + [1] * 50)
+        prob_class = gt.copy()
+        pseudo = np.zeros((2, 100), np.float32)
+        stats = RoundStats()
+        budget = {"click": 10}
+        _, used = oracle_labeling(
+            [0], components, gt, pseudo, stats, "NAIL",
+            prob_class, 0.9, budget, 1, [],
+        )
+        # 1 click for the superpoint + 2 for the confirmed sub-regions
+        assert budget["click"] == 10 - 3
+        assert stats.split_sp_num == 1 and stats.sub_num == 2
+        assert stats.sub_p_num == 100
+        assert (pseudo[0] == 1).all()
+        np.testing.assert_array_equal(pseudo[1], gt)
+
+    def test_nail_ignores_hopeless_region(self, rng):
+        # impure gt AND predictions disagree with gt groups → no pure subregion
+        components = [np.arange(60)]
+        gt = rng.randint(0, 3, 60)
+        prob_class = np.zeros(60, np.int64)  # one big subregion, impure gt
+        pseudo = np.zeros((2, 60), np.float32)
+        stats = RoundStats()
+        budget = {"click": 5}
+        oracle_labeling(
+            [0], components, gt, pseudo, stats, "NAIL",
+            prob_class, 0.99, budget, 1, [],
+        )
+        assert stats.ignore_sp_num == 1
+        assert budget["click"] == 4  # superpoint click still paid
+        assert pseudo[0].sum() == 0
+
+    def test_seed_labeling_precise(self, rng):
+        components, gt = make_cloud_partition(rng)
+        pseudo = np.zeros((2, 200), np.float32)
+        stats = RoundStats()
+        seed_labeling([0, 3], components, gt, pseudo, stats)
+        for sp in (0, 3):
+            pids = components[sp]
+            np.testing.assert_array_equal(pseudo[1][pids], gt[pids])
+            assert (pseudo[0][pids] == 1).all()
+
+    def test_sub_regions(self):
+        prob = np.array([0, 0, 1, 1, 2, 0])
+        subs = sub_regions_by_predicted_class(prob, np.arange(6))
+        assert [list(s) for s in subs] == [[0, 1, 5], [2, 3], [4]]
+
+
+# ------------------------------------------------------------------ state ---
+class TestState:
+    def test_round_trip_and_round_copy(self, rng, tmp_path):
+        state = ALState(str(tmp_path), sampler_args=["t0", "sb", "NAIL"])
+        comps = [np.array([0, 1, 2]), np.array([3, 4])]
+        in_comp = np.array([0, 0, 0, 1, 1], np.int32)
+        state.write_superpoints("cloudA", comps, in_comp, 5)
+        sp = state.load_superpoints("cloudA")
+        assert sp.num_superpoints == 2
+        np.testing.assert_array_equal(sp.in_component, in_comp)
+
+        total = {"unlabeled": {"cloudA": [0, 1]}, "sp_num": 2,
+                 "file_num": 1, "point_num": 5}
+        state.write_registry(total)
+
+        rd = state.begin_round(0)
+        assert os.path.basename(rd) == "round_1"
+        gt = state.load_pseudo_gt(rd, "cloudA")
+        assert gt.shape == (2, 5) and (gt == 0).all()
+
+        gt[0, :3] = 1
+        gt[1, :3] = 2
+        state.write_pseudo_gt(rd, "cloudA", gt)
+        t = state.load_registry(rd)
+        state.mark_labeled(t, "cloudA", [0])
+        assert t["unlabeled"]["cloudA"] == [1]
+        state.write_registry(t, rd)
+
+        rd2 = state.begin_round(1)
+        gt2 = state.load_pseudo_gt(rd2, "cloudA")
+        np.testing.assert_array_equal(gt, gt2)
+        t2 = state.load_registry(rd2)
+        assert t2["unlabeled"]["cloudA"] == [1]
+
+    def test_sampler_args_str(self):
+        assert sampler_args_str(["t0", "sb", "clsbal"]) == "t0-sb-clsbal"
+        assert sampler_args_str([]) == ""
+
+
+# --------------------------------------------------------------- fps_gcn ---
+class TestFpsGcn:
+    def test_block_adjacency_matches_reference_normalization(self, rng):
+        from ssdr_al_tpu.active.fps_gcn import _normalize_adjacency
+
+        s = 6
+        ed_cd = np.abs(rng.randn(1, s, s)).astype(np.float32)
+        ed_cd = (ed_cd + ed_cd.transpose(0, 2, 1)) / 2
+        np.fill_diagonal(ed_cd[0], 0.0)
+        mask = np.ones((1, s), bool)
+        got = np.asarray(_normalize_adjacency(
+            jnp.asarray(ed_cd), jnp.asarray(mask), 0
+        ))[0]
+        # numpy oracle: fps_gcn_cpu.py:102-116
+        adj = np.exp(-ed_cd[0])
+        adj += -np.eye(s)
+        d_inv = 1.0 / adj.sum(1)
+        want = adj @ np.diag(d_inv) + np.eye(s)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_gcn_fps_selects_requested_count(self, rng):
+        from ssdr_al_tpu.active.region_graph import build_region_graph
+        from ssdr_al_tpu.active.fps_gcn import gcn_fps_sampling
+
+        xyz = rng.randn(300, 3).astype(np.float32)
+        comps = [np.arange(i * 30, (i + 1) * 30) for i in range(10)]
+        regions = {"c0": [(i, i >= 8, comps[i][:5]) for i in range(10)]}
+        graph = build_region_graph(
+            regions, {"c0": xyz}, {"c0": comps}
+        )
+        feats = rng.randn(10, 8).astype(np.float32)
+        unl = np.array([True] * 8 + [False] * 2)
+        out = gcn_fps_sampling(graph, feats, unl, 4,
+                               gcn_number=2, gcn_top=3,
+                               rng=np.random.RandomState(0))
+        sel = [s for v in out.values() for s in v]
+        assert len(sel) == 4 and len(set(sel)) == 4
+        assert all(s < 8 for s in sel)  # only unlabeled
