@@ -272,3 +272,87 @@ int connected_components(int n_ver, int n_edg, const uint32_t* source,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-native voxel-grid subsampling (N2 parity path).
+//
+// Same semantics as the reference C++ extension
+// (utils/cpp_wrappers/cpp_subsampling/grid_subsampling/grid_subsampling.cpp:
+// 4-106): voxel = floor((p - origin)/dl), barycenter points/features,
+// majority label. The on-device implementation (ssdr_al_tpu/ops/
+// grid_subsample.py) is the primary path; this one serves host-only
+// preprocessing contexts. Output order: ascending flat voxel key.
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+
+extern "C" {
+
+// Returns number of voxels. Caller passes out buffers sized n_points (upper
+// bound). features may be null (fdim 0); labels may be null.
+int grid_subsample(int n, int fdim, const float* points, const float* features,
+                   const int32_t* labels, int num_classes, float dl,
+                   float* out_points, float* out_features,
+                   int32_t* out_labels) {
+  float minc[3] = {points[0], points[1], points[2]};
+  float maxc[3] = {points[0], points[1], points[2]};
+  for (int i = 1; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      float v = points[3 * i + d];
+      if (v < minc[d]) minc[d] = v;
+      if (v > maxc[d]) maxc[d] = v;
+    }
+  double origin[3];
+  for (int d = 0; d < 3; ++d)
+    origin[d] = std::floor(minc[d] / dl) * dl;
+  int64_t nx = static_cast<int64_t>(std::floor((maxc[0] - origin[0]) / dl)) + 1;
+  int64_t ny = static_cast<int64_t>(std::floor((maxc[1] - origin[1]) / dl)) + 1;
+
+  struct Acc {
+    std::vector<double> pt;
+    std::vector<double> feat;
+    std::vector<int> hist;
+    int count = 0;
+  };
+  std::unordered_map<int64_t, Acc> vox;
+  vox.reserve(n / 4);
+  for (int i = 0; i < n; ++i) {
+    int64_t ix = static_cast<int64_t>(std::floor((points[3 * i] - origin[0]) / dl));
+    int64_t iy = static_cast<int64_t>(std::floor((points[3 * i + 1] - origin[1]) / dl));
+    int64_t iz = static_cast<int64_t>(std::floor((points[3 * i + 2] - origin[2]) / dl));
+    int64_t key = ix + nx * iy + nx * ny * iz;
+    Acc& a = vox[key];
+    if (a.pt.empty()) {
+      a.pt.assign(3, 0.0);
+      if (fdim) a.feat.assign(fdim, 0.0);
+      if (labels) a.hist.assign(num_classes, 0);
+    }
+    for (int d = 0; d < 3; ++d) a.pt[d] += points[3 * i + d];
+    for (int d = 0; d < fdim; ++d) a.feat[d] += features[fdim * i + d];
+    if (labels) ++a.hist[labels[i]];
+    ++a.count;
+  }
+  // deterministic output: sort keys
+  std::vector<int64_t> keys;
+  keys.reserve(vox.size());
+  for (auto& kv : vox) keys.push_back(kv.first);
+  std::sort(keys.begin(), keys.end());
+  int s = 0;
+  for (int64_t key : keys) {
+    Acc& a = vox[key];
+    for (int d = 0; d < 3; ++d)
+      out_points[3 * s + d] = static_cast<float>(a.pt[d] / a.count);
+    for (int d = 0; d < fdim; ++d)
+      out_features[fdim * s + d] = static_cast<float>(a.feat[d] / a.count);
+    if (labels) {
+      int best = 0;
+      for (int c = 1; c < num_classes; ++c)
+        if (a.hist[c] > a.hist[best]) best = c;
+      out_labels[s] = best;
+    }
+    ++s;
+  }
+  return s;
+}
+
+}  // extern "C"

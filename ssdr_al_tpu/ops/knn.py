@@ -73,10 +73,18 @@ def _knn_approx_single(support, query, k, query_chunk, recall_target):
     ns, nq = support.shape[0], query.shape[0]
     nq_pad = _round_up(nq, query_chunk)
     query_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
-    sq_s = jnp.sum(support * support, axis=-1)
+    # distances via broadcast subtraction: exact f32 on the VPU, measurably
+    # faster than the matmul form at HIGHEST precision (which the tiny
+    # neighbor-distance deltas require — see module docstring)
+    sx = support[:, 0].reshape(1, ns)
+    sy = support[:, 1].reshape(1, ns)
+    sz = support[:, 2].reshape(1, ns)
 
     def body(q):
-        d2 = sq_s[None, :] - 2.0 * jnp.dot(q, support.T, precision=_HIGH)
+        dx = q[:, 0:1] - sx
+        dy = q[:, 1:2] - sy
+        dz = q[:, 2:3] - sz
+        d2 = dx * dx + dy * dy + dz * dz
         _, idx = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
         return idx.astype(jnp.int32)
 
@@ -85,7 +93,7 @@ def _knn_approx_single(support, query, k, query_chunk, recall_target):
     return out[:nq]
 
 
-def knn_approx(support, query, k, *, query_chunk=2048, recall_target=0.99):
+def knn_approx(support, query, k, *, query_chunk=1024, recall_target=0.99):
     ns = jnp.shape(support)[-2]
     if ns < max(2 * k, 128):  # tiny clouds: exact is faster and approx_min_k
         return knn_xla(support, query, k)   # needs k ≤ n
@@ -122,7 +130,7 @@ def _extract_merge(neg_d2, cand_i, best_v, best_i, k):
         return nd, bv, bi
 
     _, best_v, best_i = jax.lax.fori_loop(
-        0, k, ext, (neg_d2, best_v, best_i), unroll=True
+        0, k, ext, (neg_d2, best_v, best_i), unroll=False
     )
     return best_v, best_i
 
@@ -219,7 +227,9 @@ def _knn_kernel(qx_ref, sx_ref, out_i_ref, best_v, best_i, *, k, ts, ns_real):
     """One grid step = one query tile vs the full support (looped in TS tiles).
 
     qx_ref: [TQ, 128] query xyz lane-padded (x,y,z in lanes 0..2).
-    sx_ref: [Ns_pad, 128] support xyz likewise (whole array in VMEM).
+    sx_ref: [8, Ns_pad] support xyz sublane-packed (x,y,z in sublanes 0..2) —
+    the whole support stays VMEM-resident (8·Ns·4 B ≈ 1.3 MB at Ns=40960,
+    vs 21 MB for a lane-padded layout which spills out of VMEM).
     """
     tq = qx_ref.shape[0]
     qx = qx_ref[:, 0:1]
@@ -229,14 +239,14 @@ def _knn_kernel(qx_ref, sx_ref, out_i_ref, best_v, best_i, *, k, ts, ns_real):
     best_v[:] = jnp.full((tq, k), _NEG_BIG, dtype=jnp.float32)
     best_i[:] = jnp.zeros((tq, k), dtype=jnp.int32)
 
-    num_s_tiles = sx_ref.shape[0] // ts
+    num_s_tiles = sx_ref.shape[1] // ts
 
     def s_tile(si, _):
         start = si * ts
-        s = sx_ref[pl.ds(start, ts), :]
-        sxr = s[:, 0].reshape(1, ts)
-        syr = s[:, 1].reshape(1, ts)
-        szr = s[:, 2].reshape(1, ts)
+        s = sx_ref[:, pl.ds(start, ts)]       # [8, TS]
+        sxr = s[0:1, :]                       # [1, TS]
+        syr = s[1:2, :]
+        szr = s[2:3, :]
         dx = qx - sxr
         dy = qy - syr
         dz = qz - szr
@@ -257,7 +267,7 @@ def _knn_pallas_single(support, query, k, tq, ts):
     ns, nq = support.shape[0], query.shape[0]
     ns_pad = _round_up(ns, ts)
     nq_pad = _round_up(nq, tq)
-    sp = jnp.zeros((ns_pad, 128), jnp.float32).at[:ns, :3].set(support)
+    sp = jnp.zeros((8, ns_pad), jnp.float32).at[:3, :ns].set(support.T)
     qp = jnp.zeros((nq_pad, 128), jnp.float32).at[:nq, :3].set(query)
 
     kernel = functools.partial(_knn_kernel, k=k, ts=ts, ns_real=ns)
@@ -266,7 +276,7 @@ def _knn_pallas_single(support, query, k, tq, ts):
         grid=(nq_pad // tq,),
         in_specs=[
             pl.BlockSpec((tq, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ns_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),

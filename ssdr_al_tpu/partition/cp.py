@@ -45,6 +45,14 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.grid_subsample.restype = ctypes.c_int
+    lib.grid_subsample.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -93,3 +101,44 @@ def connected_components(n_ver, source, target, labels) -> np.ndarray:
         _ptr(labels, ctypes.c_int32), _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def grid_subsample_native(points, features=None, labels=None, grid_size=0.1):
+    """Host-native voxel-grid subsampling (same semantics as
+    ops.grid_subsample.grid_subsample_np, backed by native/cutpursuit's C++
+    implementation — the reference's cpp_subsampling parity path)."""
+    points = np.ascontiguousarray(points, np.float32)
+    n = len(points)
+    fdim = 0
+    feat_ptr = ctypes.POINTER(ctypes.c_float)()
+    out_feat_ptr = ctypes.POINTER(ctypes.c_float)()
+    out_features = None
+    if features is not None:
+        features = np.ascontiguousarray(features, np.float32)
+        fdim = features.shape[1]
+        out_features = np.empty((n, fdim), np.float32)
+        feat_ptr = _ptr(features, ctypes.c_float)
+        out_feat_ptr = _ptr(out_features, ctypes.c_float)
+    lab_ptr = ctypes.POINTER(ctypes.c_int32)()
+    out_lab_ptr = ctypes.POINTER(ctypes.c_int32)()
+    out_labels = None
+    num_classes = 0
+    if labels is not None:
+        labels = np.ascontiguousarray(labels, np.int32).ravel()
+        num_classes = int(labels.max()) + 1
+        out_labels = np.empty(n, np.int32)
+        lab_ptr = _ptr(labels, ctypes.c_int32)
+        out_lab_ptr = _ptr(out_labels, ctypes.c_int32)
+    out_points = np.empty((n, 3), np.float32)
+    lib = _load()
+    s = lib.grid_subsample(
+        n, fdim, _ptr(points, ctypes.c_float), feat_ptr, lab_ptr,
+        num_classes, ctypes.c_float(float(grid_size)),
+        _ptr(out_points, ctypes.c_float), out_feat_ptr, out_lab_ptr,
+    )
+    out = [out_points[:s]]
+    if features is not None:
+        out.append(out_features[:s])
+    if labels is not None:
+        out.append(out_labels[:s])
+    return out[0] if len(out) == 1 else tuple(out)

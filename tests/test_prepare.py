@@ -1,0 +1,125 @@
+"""Prep pipeline, superpoint-graph, cross-val and visualization tests."""
+
+import os
+import pickle
+
+import numpy as np
+
+from ssdr_al_tpu.data.ply import read_ply
+from ssdr_al_tpu.data.prepare import (
+    nearest_sub_index,
+    prepare_s3dis_room,
+    write_cloud_artifacts,
+)
+from ssdr_al_tpu.partition.sp_graph import compute_sp_graph
+from ssdr_al_tpu.train.cross_val import score_prediction_plys
+from ssdr_al_tpu.utils.visualize import (
+    export_semantic3d_labels,
+    write_label_ply,
+    write_prediction_ply,
+    write_superpoint_ply,
+)
+
+
+class TestPrepare:
+    def test_write_cloud_artifacts(self, rng, tmp_path):
+        xyz = (rng.rand(2000, 3) * 5).astype(np.float32)
+        colors = (rng.rand(2000, 3) * 255).astype(np.uint8)
+        labels = rng.randint(0, 4, 2000).astype(np.uint8)
+        n = write_cloud_artifacts(str(tmp_path), "roomA", xyz, colors, labels, 0.25)
+        sub = read_ply(str(tmp_path / "input_0.250" / "roomA.ply"))
+        assert len(sub) == n < 2000
+        assert 0 <= sub["red"].min() and sub["red"].max() <= 1.0  # normalized
+        with open(tmp_path / "input_0.250" / "roomA_proj.pkl", "rb") as f:
+            proj_idx, full_labels = pickle.load(f)
+        assert len(proj_idx) == 2000 and proj_idx.max() < n
+        np.testing.assert_array_equal(full_labels, labels)
+        # proj maps each full point to its nearest sub point
+        sub_xyz = np.vstack([sub["x"], sub["y"], sub["z"]]).T
+        d_proj = np.linalg.norm(xyz[:5] - sub_xyz[proj_idx[:5]], axis=1)
+        for i in range(5):
+            d_all = np.linalg.norm(sub_xyz - xyz[i], axis=1)
+            assert d_proj[i] <= d_all.min() + 1e-5
+
+    def test_prepare_s3dis_room_from_txt(self, rng, tmp_path):
+        anno = tmp_path / "Area_9" / "office_1" / "Annotations"
+        os.makedirs(anno)
+        for cname, n in (("chair_1", 50), ("table_3", 60), ("staris_1", 30)):
+            pts = np.hstack([
+                rng.rand(n, 3) * 3,
+                (rng.rand(n, 3) * 255).astype(int),
+            ])
+            np.savetxt(anno / f"{cname}.txt", pts, fmt="%.3f")
+        out = tmp_path / "out"
+        prepare_s3dis_room(str(anno), str(out), "Area_9_office_1", grid_size=0.1)
+        orig = read_ply(str(out / "original_ply" / "Area_9_office_1.ply"))
+        assert len(orig) == 140
+        # 'staris' falls back to clutter (label 12)
+        assert set(np.unique(orig["class"])) <= {8, 7, 12}
+
+    def test_nearest_sub_index(self, rng):
+        full = rng.rand(500, 3).astype(np.float32)
+        sub = full[::7]
+        idx = nearest_sub_index(full, sub)
+        np.testing.assert_array_equal(idx[::7], np.arange(len(sub)))
+
+
+class TestSpGraph:
+    def test_sp_graph_features(self, rng):
+        # two spatially separated planar clusters
+        a = rng.rand(60, 3).astype(np.float32)
+        b = rng.rand(60, 3).astype(np.float32) + [2.0, 0, 0]
+        xyz = np.vstack([a, b])
+        in_comp = np.array([0] * 60 + [1] * 60)
+        comps = [np.arange(60), np.arange(60, 120)]
+        labels = np.array([1] * 60 + [3] * 60)
+        g = compute_sp_graph(xyz, 0, in_comp, comps, labels, n_labels=4)
+        assert g["sp_centroids"].shape == (2, 3)
+        np.testing.assert_allclose(g["sp_centroids"][1] - g["sp_centroids"][0],
+                                   [2.0, 0, 0], atol=0.2)
+        assert g["sp_labels"][0].argmax() == 1
+        assert g["sp_labels"][1].argmax() == 3
+        # superedges exist in both directions between the two components
+        pairs = set(zip(g["source"][:, 0].tolist(), g["target"][:, 0].tolist()))
+        assert (0, 1) in pairs and (1, 0) in pairs
+        # se_delta_centroid antisymmetric
+        i01 = [i for i, p in enumerate(zip(g["source"][:, 0], g["target"][:, 0]))
+               if tuple(p) == (0, 1)][0]
+        i10 = [i for i, p in enumerate(zip(g["source"][:, 0], g["target"][:, 0]))
+               if tuple(p) == (1, 0)][0]
+        np.testing.assert_allclose(
+            g["se_delta_centroid"][i01], -g["se_delta_centroid"][i10], atol=1e-5
+        )
+
+
+class TestVisualizeAndCV:
+    def test_prediction_ply_scoring(self, rng, tmp_path):
+        xyz = rng.rand(300, 3).astype(np.float32)
+        gt = rng.randint(0, 4, 300)
+        pred = gt.copy()
+        pred[:30] = (gt[:30] + 1) % 4  # 10% errors
+        write_prediction_ply(str(tmp_path / "room.ply"), xyz, pred, gt)
+        result = score_prediction_plys(str(tmp_path), num_classes=4)
+        np.testing.assert_allclose(result["oa"], 0.9, atol=1e-6)
+        assert 0 < result["miou"] < 1
+
+    def test_label_and_superpoint_plys(self, rng, tmp_path):
+        xyz = rng.rand(100, 3).astype(np.float32)
+        write_label_ply(str(tmp_path / "l.ply"), xyz, rng.randint(0, 5, 100))
+        write_superpoint_ply(str(tmp_path / "s.ply"), xyz, rng.randint(0, 9, 100))
+        assert read_ply(str(tmp_path / "l.ply"))["red"].shape == (100,)
+        assert read_ply(str(tmp_path / "s.ply"))["superpoint"].max() <= 8
+
+    def test_semantic3d_label_export(self, rng, tmp_path):
+        sub_probs = rng.rand(50, 8).astype(np.float32)
+        proj = rng.randint(0, 50, 200)
+        path = str(tmp_path / "scene.labels")
+        preds = export_semantic3d_labels(
+            path, sub_probs, proj, label_values=np.arange(1, 9)
+        )
+        loaded = np.loadtxt(path, dtype=int)
+        np.testing.assert_array_equal(loaded, preds)
+        assert loaded.min() >= 1 and loaded.max() <= 8
+        np.testing.assert_array_equal(
+            preds, sub_probs[proj].argmax(1) + 1
+        )
