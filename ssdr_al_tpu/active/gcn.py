@@ -123,10 +123,11 @@ def gcn_sampling(
     rng = jax.random.PRNGKey(seed)
     params = _init_gcn_params(rng, feats_flat.shape[1])
     tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def step(carry, i):
+        params, opt_state = carry
+        key = jax.random.fold_in(rng, i)
+
         def loss_fn(p):
             scores, _ = _gcn_forward(p, adj, vhat, mask, dropout_rng=key)
             s = jnp.clip(scores[..., 0], 1e-7, 1 - 1e-7)
@@ -137,12 +138,20 @@ def gcn_sampling(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return (params, opt_state), loss
 
-    key = rng
-    for i in range(num_steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+    @jax.jit
+    def fit(params):
+        # the full 20000-step fit runs as ONE device program (a Python loop
+        # of jitted steps would pay this platform's per-dispatch round-trip
+        # 20000 times)
+        opt_state = tx.init(params)
+        (params, _), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(num_steps)
+        )
+        return params, losses
+
+    params, losses = fit(params)
 
     scores, hidden = _gcn_forward(params, adj, vhat, mask, dropout_rng=None)
     scores_flat = blocks_to_flat(graph, np.asarray(scores))[:, 0]

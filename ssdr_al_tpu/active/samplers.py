@@ -92,9 +92,15 @@ class InferenceRunner:
         prob_class = np.zeros(n, np.int32)
         unc = np.zeros(n, np.float32)
         penult = np.zeros((n, 32), np.float16)
+        # two-phase: enqueue every chunk's device work first, convert after —
+        # a per-chunk host sync would serialize this platform's ~30 ms
+        # dispatch round-trip into the loop
+        pending = []
         for batch, idx, valid in self.pipe.cloud_chunks(cloud):
             probs, feats = self.eval_step(self.state, batch)
             cls, u = self._reduce(probs)
+            pending.append((idx, valid, cls, u, feats))
+        for idx, valid, cls, u, feats in pending:
             cls, u, feats = (np.asarray(cls)[0], np.asarray(u)[0],
                              np.asarray(feats)[0])
             prob_class[idx[:valid]] = cls[:valid]

@@ -47,8 +47,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="override cfg.max_epoch (0 = dataset default)")
     p.add_argument("--train_steps", type=int, default=0,
                    help="override cfg.train_steps (0 = dataset default)")
-    p.add_argument("--knn_engine", type=str, default="approx",
-                   choices=["approx", "xla", "pallas"])
+    p.add_argument("--knn_engine", type=str, default="window",
+                   choices=["window", "approx", "xla", "pallas"])
 
 
 @dataclasses.dataclass
@@ -144,7 +144,7 @@ def experiment_class_weights(exp: Experiment) -> np.ndarray:
     return np.ones(exp.cfg.num_classes, np.float32)
 
 
-def make_trainer(exp: Experiment, sampler_args, knn_engine="approx"):
+def make_trainer(exp: Experiment, sampler_args, knn_engine="window"):
     """Trainer wired to this experiment's snapshot dir + class weights."""
     from ssdr_al_tpu.train.trainer import Trainer
 

@@ -172,7 +172,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_pyramid(xyz, cfg: Config, *, engine: str = "approx") -> Pyramid:
+def build_pyramid(xyz, cfg: Config, *, engine: str = "window") -> Pyramid:
     """In-graph replacement for tf_map (s3dis_dataset.py:156-183).
 
     xyz: [B, N, 3], already randomly shuffled by the host sampler — prefix
@@ -245,7 +245,7 @@ class RandLANet(nn.Module):
 
 
 def forward_with_pyramid(model: RandLANet, variables, xyz, features, *,
-                         train=False, rngs=None, engine="approx",
+                         train=False, rngs=None, engine="window",
                          mutable=False):
     """Convenience wrapper: pyramid + forward in one traceable function."""
     pyramid = build_pyramid(xyz, model.cfg, engine=engine)

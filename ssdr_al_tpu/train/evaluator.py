@@ -46,9 +46,17 @@ class Evaluator:
         last_min = -0.5
 
         for _ in range(self.max_epochs):
+            # enqueue device work for the whole epoch, then fold results —
+            # block sampling is possibility-driven on the host and does not
+            # depend on the probabilities, so dispatches pipeline freely
+            pending = []
             for _ in range(cfg.val_steps):
                 batch = pipe.get_batch(cfg.val_batch_size)
                 probs, _ = eval_step(state, batch)
+                pending.append((batch, probs))
+                if pipe.global_min > last_min + 1:
+                    break
+            for batch, probs in pending:
                 probs = np.asarray(probs)  # [B, N, C]
                 for j in range(probs.shape[0]):
                     ci = int(batch["cloud_idx"][j])
@@ -57,8 +65,6 @@ class Evaluator:
                         test_smooth * test_probs[ci][p_idx]
                         + (1 - test_smooth) * probs[j]
                     )
-                if pipe.global_min > last_min + 1:
-                    break
             new_min = pipe.global_min
             if last_min + 1 < new_min:
                 return self._finalize(test_probs)

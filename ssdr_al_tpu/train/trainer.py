@@ -86,7 +86,7 @@ def reset_optimizer(state: TrainState, cfg: Config, steps_per_epoch: int) -> Tra
 
 
 def make_train_step(model: RandLANet, cfg: Config,
-                    weights: np.ndarray, knn_engine: str = "approx"):
+                    weights: np.ndarray, knn_engine: str = "window"):
     table = (
         label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
         if cfg.ignored_label_inds else None
@@ -121,7 +121,7 @@ def make_train_step(model: RandLANet, cfg: Config,
     return train_step
 
 
-def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "approx"):
+def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window"):
     """Inference: softmax probs + penultimate 32-d features (the tensors the
     reference exposes as prob_logits / last_second_features, RandLANet.py:84,38)."""
 
@@ -164,7 +164,7 @@ class Trainer:
 
     def __init__(self, cfg: Config, dataset_name: str, *, save_dir: str,
                  seed_save_dir: Optional[str] = None,
-                 knn_engine: str = "approx", log_fn: Callable[[str], None] = print,
+                 knn_engine: str = "window", log_fn: Callable[[str], None] = print,
                  steps_per_epoch: Optional[int] = None):
         self.cfg = cfg
         self.dataset_name = dataset_name

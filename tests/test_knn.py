@@ -77,6 +77,45 @@ class TestKnnPallas:
                      tile_q=128, tile_s=128)
 
 
+class TestKnnWindow:
+    def test_recall_on_scene(self, rng):
+        """Morton-window engine must keep ≥0.93 recall on scene-like data
+        (the model-pyramid default; tighter 0.97 gate runs on TPU where the
+        pallas impl is active)."""
+        from ssdr_al_tpu.data.synthetic import make_room
+        from ssdr_al_tpu.ops.knn import knn_window
+
+        room = make_room(rng, "r", num_points=8000)
+        pts = room.xyz[None]
+        idx = np.asarray(knn_window(pts, pts, 16, window=2048))
+        d2 = ((pts[0][:500, None] - pts[0][None]) ** 2).sum(-1)
+        exact = [set(r) for r in np.argsort(d2, 1)[:, :16]]
+        got = idx[0][:500]
+        recall = np.mean([len(set(g) & e) / 16 for g, e in zip(got, exact)])
+        assert recall >= 0.93, recall
+
+    def test_small_cloud_falls_back_exact(self, rng):
+        from ssdr_al_tpu.ops.knn import knn_window
+
+        pts = rng.randn(1, 100, 3).astype(np.float32)
+        idx = np.asarray(knn_window(pts, pts, 8))
+        _, want_d2 = brute_knn(pts[0], pts[0], 8)
+        got_d2 = ((pts[0][:, None, :] - pts[0][idx[0]]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.sort(got_d2, 1), want_d2, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_upsample_k1_correct(self, rng):
+        from ssdr_al_tpu.ops.knn import knn_window
+
+        pts = rng.rand(1, 6000, 3).astype(np.float32)
+        sub = pts[:, :1500]
+        idx = np.asarray(knn_window(sub, pts, 1, window=1024))
+        d2 = ((pts[0][:300, None] - sub[0][None]) ** 2).sum(-1)
+        want = d2.argmin(1)
+        agree = (idx[0][:300, 0] == want).mean()
+        assert agree > 0.93, agree
+
+
 @pytest.mark.parametrize("n,k", [(40960 // 16, 16)])
 def test_layer_shapes_smoke(rng, n, k):
     """Downsampled layer sizes from ConfigS3DIS compile and run."""
