@@ -56,13 +56,15 @@ class SharedMLP(nn.Module):
     features: int
     bn: bool = True
     act: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, kernel_init=_CONV_INIT)(x)
+        x = nn.Dense(self.features, kernel_init=_CONV_INIT, dtype=self.dtype)(x)
         if self.bn:
             x = nn.BatchNorm(
-                momentum=0.99, epsilon=1e-6, use_running_average=not train
+                momentum=0.99, epsilon=1e-6, use_running_average=not train,
+                dtype=self.dtype,
             )(x)
         if self.act:
             x = leaky_relu(x)
@@ -110,48 +112,59 @@ class AttPooling(nn.Module):
     """Attentive pooling over the k neighbors (RandLANet.py:572-585)."""
 
     d_out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feature_set, train: bool):
         # feature_set [B, N, k, d]
         d = feature_set.shape[-1]
-        att = nn.Dense(d, use_bias=False, kernel_init=_DENSE_INIT)(feature_set)
-        scores = jax.nn.softmax(att, axis=2)
+        att = nn.Dense(d, use_bias=False, kernel_init=_DENSE_INIT,
+                       dtype=self.dtype)(feature_set)
+        scores = jax.nn.softmax(att.astype(jnp.float32), axis=2).astype(
+            feature_set.dtype
+        )
         agg = jnp.sum(feature_set * scores, axis=2)                 # [B, N, d]
-        return SharedMLP(self.d_out, name="mlp")(agg, train)
+        return SharedMLP(self.d_out, dtype=self.dtype, name="mlp")(agg, train)
 
 
 class BuildingBlock(nn.Module):
     """Local feature aggregation (RandLANet.py:514-527)."""
 
     d_out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, feature, neigh_idx, train: bool):
         d_in = feature.shape[-1]
-        f_xyz10 = relative_pos_encoding(xyz, neigh_idx)             # [B,N,k,10]
-        f_xyz = SharedMLP(d_in, name="mlp1")(f_xyz10, train)
+        f_xyz10 = relative_pos_encoding(xyz, neigh_idx).astype(self.dtype)
+        f_xyz = SharedMLP(d_in, dtype=self.dtype, name="mlp1")(f_xyz10, train)
         f_neighbours = gather_neighbour(feature, neigh_idx)         # [B,N,k,d_in]
         f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
-        f_pc_agg = AttPooling(self.d_out // 2, name="att_pooling_1")(f_concat, train)
+        f_pc_agg = AttPooling(self.d_out // 2, dtype=self.dtype,
+                              name="att_pooling_1")(f_concat, train)
 
-        f_xyz = SharedMLP(self.d_out // 2, name="mlp2")(f_xyz, train)
+        f_xyz = SharedMLP(self.d_out // 2, dtype=self.dtype, name="mlp2")(f_xyz, train)
         f_neighbours = gather_neighbour(f_pc_agg, neigh_idx)
         f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
-        return AttPooling(self.d_out, name="att_pooling_2")(f_concat, train)
+        return AttPooling(self.d_out, dtype=self.dtype,
+                          name="att_pooling_2")(f_concat, train)
 
 
 class DilatedResBlock(nn.Module):
     """RandLANet.py:505-512."""
 
     d_out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feature, xyz, neigh_idx, train: bool):
-        f_pc = SharedMLP(self.d_out // 2, name="mlp1")(feature, train)
-        f_pc = BuildingBlock(self.d_out, name="lfa")(xyz, f_pc, neigh_idx, train)
-        f_pc = SharedMLP(2 * self.d_out, act=False, name="mlp2")(f_pc, train)
-        shortcut = SharedMLP(2 * self.d_out, act=False, name="shortcut")(feature, train)
+        f_pc = SharedMLP(self.d_out // 2, dtype=self.dtype, name="mlp1")(feature, train)
+        f_pc = BuildingBlock(self.d_out, dtype=self.dtype, name="lfa")(
+            xyz, f_pc, neigh_idx, train)
+        f_pc = SharedMLP(2 * self.d_out, act=False, dtype=self.dtype,
+                         name="mlp2")(f_pc, train)
+        shortcut = SharedMLP(2 * self.d_out, act=False, dtype=self.dtype,
+                             name="shortcut")(feature, train)
         return leaky_relu(f_pc + shortcut)
 
 
@@ -172,6 +185,52 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pyramid_window_single(xyz, cfg: Config):
+    """Window-engine pyramid for one cloud: each layer is morton-sorted ONCE
+    and the sorted view is shared by its self-search, pool indices, and the
+    next upsample search (3 argsort+gather passes saved per layer)."""
+    from ssdr_al_tpu.ops.knn import knn_approx, knn_window_sorted, sort_cloud
+
+    lo = jnp.min(xyz, axis=0)
+    hi = jnp.max(xyz, axis=0)
+
+    def self_window(n):
+        return 4096 if n > 16384 else 2048
+
+    xyzs, neighs, subs, interps = [], [], [], []
+    cur = xyz
+    sorted_cur = None
+    for i in range(cfg.num_layers):
+        n = cur.shape[0]
+        n_sub = n // cfg.sub_sampling_ratio[i]
+        use_window = n > 4096
+        if use_window:
+            if sorted_cur is None:
+                sorted_cur = sort_cloud(cur, lo, hi)
+            neigh = knn_window_sorted(
+                sorted_cur, sorted_cur, cfg.k_n, window=self_window(n)
+            )
+        else:
+            neigh = knn_approx(cur, cur, cfg.k_n)
+        sub_points = cur[:n_sub]
+        pool_i = neigh[:n_sub]
+        if n_sub > 2048:
+            sorted_sub = sort_cloud(sub_points, lo, hi)
+            if sorted_cur is None:
+                sorted_cur = sort_cloud(cur, lo, hi)
+            up_i = knn_window_sorted(sorted_sub, sorted_cur, 1, window=1024)
+        else:
+            sorted_sub = None
+            up_i = knn_approx(sub_points, cur, 1)
+        xyzs.append(cur)
+        neighs.append(neigh)
+        subs.append(pool_i)
+        interps.append(up_i)
+        cur = sub_points
+        sorted_cur = sorted_sub
+    return Pyramid(xyzs, neighs, subs, interps)
+
+
 def build_pyramid(xyz, cfg: Config, *, engine: str = "window") -> Pyramid:
     """In-graph replacement for tf_map (s3dis_dataset.py:156-183).
 
@@ -179,6 +238,10 @@ def build_pyramid(xyz, cfg: Config, *, engine: str = "window") -> Pyramid:
     slicing therefore implements RandLA-Net's random downsampling, exactly as
     the reference slices the shuffled cloud (s3dis_dataset.py:166-167).
     """
+    if engine == "window":
+        if jax.default_backend() == "tpu":
+            return jax.vmap(lambda x: _pyramid_window_single(x, cfg))(xyz)
+        # non-TPU backends use the XLA window impl through the generic path
     xyzs, neighs, subs, interps = [], [], [], []
     cur = xyz
     for i in range(cfg.num_layers):
@@ -204,16 +267,21 @@ class RandLANet(nn.Module):
     @nn.compact
     def __call__(self, features, pyramid: Pyramid, train: bool = False):
         cfg = self.cfg
-        f = nn.Dense(8, kernel_init=_DENSE_INIT, name="fc0")(features)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        f = nn.Dense(8, kernel_init=_DENSE_INIT, dtype=dtype, name="fc0")(
+            features.astype(dtype)
+        )
         f = nn.BatchNorm(
-            momentum=0.99, epsilon=1e-6, use_running_average=not train, name="fc0_bn"
+            momentum=0.99, epsilon=1e-6, use_running_average=not train,
+            dtype=dtype, name="fc0_bn"
         )(f)
         f = leaky_relu(f)
 
         # encoder (RandLANet.py:150-157)
         f_encoder_list = []
         for i in range(cfg.num_layers):
-            f_enc = DilatedResBlock(cfg.d_out[i], name=f"encoder_{i}")(
+            f_enc = DilatedResBlock(cfg.d_out[i], dtype=dtype,
+                                    name=f"encoder_{i}")(
                 f, pyramid.xyz[i], pyramid.neigh_idx[i], train
             )
             f_sampled = random_sample(f_enc, pyramid.sub_idx[i])
@@ -223,24 +291,25 @@ class RandLANet(nn.Module):
             f_encoder_list.append(f_sampled)
 
         # bottleneck (RandLANet.py:159-161)
-        f = SharedMLP(f_encoder_list[-1].shape[-1], name="decoder_0")(f, train)
+        f = SharedMLP(f_encoder_list[-1].shape[-1], dtype=dtype,
+                      name="decoder_0")(f, train)
 
         # decoder (RandLANet.py:164-172)
         for j in range(cfg.num_layers):
             f_interp = nearest_interpolation(f, pyramid.interp_idx[-j - 1])
             skip = f_encoder_list[-j - 2]
-            f = SharedMLP(skip.shape[-1], name=f"decoder_{j + 1}")(
+            f = SharedMLP(skip.shape[-1], dtype=dtype, name=f"decoder_{j + 1}")(
                 jnp.concatenate([skip, f_interp], axis=-1), train
             )
 
         # head (RandLANet.py:174-180)
-        f = SharedMLP(64, name="fc1")(f, train)
-        f = SharedMLP(32, name="fc2")(f, train)
-        penultimate = f
+        f = SharedMLP(64, dtype=dtype, name="fc1")(f, train)
+        f = SharedMLP(32, dtype=dtype, name="fc2")(f, train)
+        penultimate = f.astype(jnp.float32)
         f = nn.Dropout(rate=0.5, deterministic=not train, name="dp1")(f)
         logits = nn.Dense(
             cfg.num_classes, kernel_init=_CONV_INIT, name="fc"
-        )(f)
+        )(f.astype(jnp.float32))
         return logits, penultimate
 
 

@@ -292,6 +292,64 @@ def _knn_window_single_pallas(support, query, k, query_chunk, window):
     return out[inv[:nq]]
 
 
+class SortedCloud:
+    """A cloud pre-sorted along the morton curve, reusable across several
+    window searches (build_pyramid uses each layer as self-support,
+    self-query, AND up-query — sorting once amortizes 3 argsort+gather
+    passes)."""
+
+    def __init__(self, xyz_sorted, order, codes_sorted, n_real):
+        self.xyz_sorted = xyz_sorted    # [N_pad, 3] (sentinels at the tail)
+        self.order = order              # [N_real] original index per rank
+        self.codes_sorted = codes_sorted
+        self.n_real = n_real
+
+
+def sort_cloud(xyz, lo, hi, pad_to=128) -> "SortedCloud":
+    n = xyz.shape[0]
+    codes = morton_codes(xyz, lo, hi)
+    order = jnp.argsort(codes)
+    xyz_sorted = xyz[order]
+    n_pad = _round_up(n, pad_to)
+    xyz_sorted = jnp.concatenate(
+        [xyz_sorted, jnp.full((n_pad - n, 3), 3e18, jnp.float32)], axis=0
+    )
+    return SortedCloud(xyz_sorted, order, codes[order], n)
+
+
+def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
+                      query_chunk=256, window=2048):
+    """Window KNN between pre-sorted clouds; indices returned in the ORIGINAL
+    support order, rows in the ORIGINAL query order."""
+    ns, nq = sup.n_real, qry.n_real
+    nq_pad = _round_up(nq, query_chunk)
+    q_sorted = jnp.concatenate(
+        [qry.xyz_sorted[:nq],
+         jnp.broadcast_to(qry.xyz_sorted[nq - 1], (nq_pad - nq, 3))], axis=0
+    )
+    q_codes = jnp.concatenate(
+        [qry.codes_sorted, jnp.broadcast_to(qry.codes_sorted[nq - 1],
+                                            (nq_pad - nq,))]
+    )
+    pos = jnp.searchsorted(sup.codes_sorted, q_codes).astype(jnp.int32)
+    ns_pad = sup.xyz_sorted.shape[0]
+    starts = jnp.clip(
+        jnp.median(pos.reshape(-1, query_chunk), axis=1).astype(jnp.int32)
+        - window // 2,
+        0, ns_pad - window,
+    )
+    starts = (starts // 128) * 128
+    rel = _run_window_pallas(
+        sup.xyz_sorted, q_sorted, starts, k, query_chunk, window
+    )
+    out_sorted = jnp.repeat(starts, query_chunk)[:, None] + rel
+    out = sup.order[jnp.clip(out_sorted, 0, ns - 1)]
+    inv = jnp.zeros(nq, jnp.int32).at[qry.order].set(
+        jnp.arange(nq, dtype=jnp.int32)
+    )
+    return out[inv]
+
+
 def knn_window(support, query, k, *, query_chunk=256, window=2048,
                impl="auto"):
     """Morton-window KNN (approximate; recall ≥0.95 at the defaults on scene

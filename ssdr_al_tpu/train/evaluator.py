@@ -22,6 +22,34 @@ from ssdr_al_tpu.data.dataset import PossibilityEvalPipeline
 from ssdr_al_tpu.train.metrics import confusion_matrix, iou_from_confusion
 
 
+def simple_evaluate(eval_step, state, batches, num_classes,
+                    ignored_label_inds=()):
+    """Plain batched validation without vote smoothing (Network.evaluate,
+    RandLANet.py:426-484): accumulate a confusion matrix over fixed batches,
+    dropping ignored-label points (labels shifted down by 1 when dropped, as
+    the reference does at RandLANet.py:446-449)."""
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    correct = seen = 0
+    pending = []
+    for batch in batches:
+        probs, _ = eval_step(state, batch)
+        pending.append((batch, probs))
+    for batch, probs in pending:
+        pred = np.asarray(probs).argmax(-1).ravel()
+        labels = np.asarray(batch["labels"]).ravel()
+        if ignored_label_inds:
+            keep = ~np.isin(labels, ignored_label_inds)
+            pred = pred[keep]
+            labels = labels[keep] - len(ignored_label_inds)
+        correct += int((pred == labels).sum())
+        seen += len(labels)
+        conf += confusion_matrix(labels, pred, num_classes)
+    tp = np.diag(conf)
+    union = conf.sum(0) + conf.sum(1) - tp
+    iou = tp / np.maximum(union, 1)
+    return float(iou.mean()), correct / max(seen, 1)
+
+
 class Evaluator:
     def __init__(self, cfg: Config, clouds: List[Cloud], *,
                  val_proj: Optional[List[np.ndarray]] = None,
