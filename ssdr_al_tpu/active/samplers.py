@@ -358,9 +358,10 @@ class TSampler:
         unl_refs, sorted_inds, inference, labeled_by_cloud = self.prediction(
             eval_step, model_state, total_obj, round_num, stats
         )
+        # the candidate-list size is capped by the number of scored regions,
+        # but the click budget keeps its original value (sampler2.py:645-646
+        # creates budget BEFORE the cap at :671-672)
         batch_size = min(batch_size, len(unl_refs))
-        budget["click"] = min(budget["click"], len(unl_refs)) or budget["click"]
-        budget["click"] = batch_size
 
         if a.diversity == "edcd":
             file_list = self._edcd_selection(unl_refs, sorted_inds, batch_size, stats)

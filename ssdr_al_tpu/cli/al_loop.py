@@ -89,7 +89,8 @@ def run_al_loop(args):
             total_sp_num, seed=args.t,
         )
 
-    trainer = make_trainer(exp, sampler_args, args.knn_engine)
+    trainer = make_trainer(exp, sampler_args, args.knn_engine,
+                           num_devices=args.num_devices)
     pipe0 = make_training_pipeline(exp)
     trainer.init_state(pipe0.sample_batch(exp.cfg.batch_size))
     evaluate = Evaluator(exp.cfg, exp.val_clouds)

@@ -35,7 +35,8 @@ def run_baseline(args):
     log_out(f"baseline: labeled {stats.sp_num} superpoints "
             f"({stats.p_num} points)", record)
 
-    trainer = make_trainer(exp, sampler_args, args.knn_engine)
+    trainer = make_trainer(exp, sampler_args, args.knn_engine,
+                           num_devices=args.num_devices)
     round_dir = state.round_dir(1)
     pipe = make_training_pipeline(exp, pseudo_gt=pseudo_gt_for_round(state, round_dir, exp.train_clouds),)
     trainer.init_state(pipe.sample_batch(exp.cfg.batch_size))

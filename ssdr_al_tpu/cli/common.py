@@ -49,6 +49,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="override cfg.train_steps (0 = dataset default)")
     p.add_argument("--knn_engine", type=str, default="window",
                    choices=["window", "approx", "xla", "pallas"])
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel chips (batch_size must be divisible)")
 
 
 @dataclasses.dataclass
@@ -144,15 +146,27 @@ def experiment_class_weights(exp: Experiment) -> np.ndarray:
     return np.ones(exp.cfg.num_classes, np.float32)
 
 
-def make_trainer(exp: Experiment, sampler_args, knn_engine="window"):
+def make_trainer(exp: Experiment, sampler_args, knn_engine="window",
+                 num_devices=1):
     """Trainer wired to this experiment's snapshot dir + class weights."""
     from ssdr_al_tpu.train.trainer import Trainer
 
+    mesh = None
+    if num_devices > 1:
+        from ssdr_al_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
+        if exp.cfg.batch_size % num_devices:
+            raise ValueError(
+                f"batch_size {exp.cfg.batch_size} not divisible by "
+                f"{num_devices} devices"
+            )
     trainer = Trainer(
         exp.cfg, exp.dataset_name,
         save_dir=exp.save_dir(sampler_args),
         seed_save_dir=exp.save_dir(["seed"]),
         knn_engine=knn_engine,
+        mesh=mesh,
     )
     trainer.weights = experiment_class_weights(exp)
     from ssdr_al_tpu.train.trainer import make_train_step

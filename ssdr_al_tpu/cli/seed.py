@@ -45,7 +45,8 @@ def run_seed(args):
         record,
     )
 
-    trainer = make_trainer(exp, sampler_args, args.knn_engine)
+    trainer = make_trainer(exp, sampler_args, args.knn_engine,
+                           num_devices=args.num_devices)
     round_dir = state.round_dir(1)
     pipe = make_training_pipeline(exp, pseudo_gt=pseudo_gt_for_round(state, round_dir, exp.train_clouds),)
     trainer.init_state(pipe.sample_batch(exp.cfg.batch_size))

@@ -165,11 +165,12 @@ class Trainer:
     def __init__(self, cfg: Config, dataset_name: str, *, save_dir: str,
                  seed_save_dir: Optional[str] = None,
                  knn_engine: str = "window", log_fn: Callable[[str], None] = print,
-                 steps_per_epoch: Optional[int] = None):
+                 steps_per_epoch: Optional[int] = None, mesh=None):
         self.cfg = cfg
         self.dataset_name = dataset_name
         self.save_dir = save_dir
         self.seed_save_dir = seed_save_dir
+        self.mesh = mesh  # optional jax.sharding.Mesh for data parallelism
         self.log = log_fn
         self.model = RandLANet(cfg)
         self.weights = get_class_weights(dataset_name)
@@ -218,10 +219,21 @@ class Trainer:
         best_miou, best_oa = 0.0, 0.0
         self._rng, step_rng = jax.random.split(self._rng)
 
+        if self.mesh is not None:
+            # data parallelism: replicate params, shard the batch axis —
+            # XLA inserts the gradient reduction over ICI from the shardings
+            from ssdr_al_tpu.parallel.mesh import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+
         for epoch in range(max_epoch):
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
             for batch in batch_iter_fn(epoch):
+                if self.mesh is not None:
+                    from ssdr_al_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
                 state, metrics = self.train_step(state, batch, step_rng)
                 losses.append(metrics["loss"])
                 accs.append(metrics["accuracy"])

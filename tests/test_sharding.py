@@ -79,3 +79,29 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_trainer_with_mesh(rng, tmp_path):
+    """Trainer.train_round over the 8-device mesh: loss finite, snapshot saved."""
+    from ssdr_al_tpu.data.synthetic import make_dataset
+    from ssdr_al_tpu.data.dataset import TrainingPipeline
+    from ssdr_al_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(TINY, batch_size=8, train_steps=2, max_epoch=1)
+    train, _ = make_dataset(num_train=2, num_points=2000)
+    pipe = TrainingPipeline(train, cfg)
+    trainer = Trainer(
+        cfg, "S3DIS", save_dir=str(tmp_path / "snap"),
+        knn_engine="xla", mesh=make_mesh(), log_fn=lambda *_: None,
+    )
+    trainer.weights = np.ones(cfg.num_classes, np.float32)
+    from ssdr_al_tpu.train.trainer import make_train_step
+
+    trainer.train_step = make_train_step(trainer.model, cfg, trainer.weights, "xla")
+    trainer.init_state(pipe.sample_batch(cfg.batch_size))
+    miou, oa = trainer.train_round(
+        1, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size)
+    )
+    import os
+
+    assert os.path.exists(str(tmp_path / "snap" / "snap-1"))
