@@ -111,7 +111,84 @@ def measure_reference_tfmap(batch_size: int = 1):
     return batch_size * cfg.num_points / dt
 
 
+def measure_selection_round(num_rooms=4, points=20000, budget=60):
+    """BASELINE config (3): full AL selection round wall-clock — chunked
+    inference over all training clouds, per-superpoint uncertainty scoring,
+    FPS-GCN diversity reasoning, NAIL oracle labeling — on synthetic scenes.
+
+    Returns (wall_seconds, clouds, points)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from ssdr_al_tpu.active.samplers import SeedSampler, TSampler, TSamplerArgs
+    from ssdr_al_tpu.active.state import ALState, RoundStats
+    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.data.synthetic import make_dataset, NUM_SYNTH_CLASSES
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.partition.superpoint import compute_superpoints
+    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        ConfigS3DIS, num_points=4096, num_classes=NUM_SYNTH_CLASSES
+    )
+    work = tempfile.mkdtemp(prefix="bench_sel_")
+    try:
+        train, _ = make_dataset(num_train=num_rooms, num_points=points)
+        state = ALState(work, ["t0", "sb", "clsbal", "gcn_fps", "WetSU",
+                               "NAIL", "0.9", "1", "1", "0"])
+        compute_superpoints(train, state, 0.03, log=lambda *a: None)
+        total = state.load_registry()
+        seeder = SeedSampler(state, train, total["sp_num"])
+        seeder.sampling(max(1, total["sp_num"] // 20), 0, RoundStats())
+
+        model = RandLANet(cfg)
+        rng = np.random.RandomState(0)
+        sample = {
+            "xyz": (rng.rand(1, cfg.num_points, 3) * 6).astype(np.float32),
+            "features": rng.rand(1, cfg.num_points, 6).astype(np.float32),
+        }
+        mstate = create_train_state(
+            model, cfg, jax.random.PRNGKey(0), sample, 500
+        )
+        eval_step = make_eval_step(model, cfg)
+        sampler = TSampler(
+            state, train, cfg,
+            TSamplerArgs(diversity="gcn_fps", oracle_mode="NAIL",
+                         class_balance="clsbal"),
+            total["sp_num"],
+        )
+        # warm the compiled paths, then measure a full round
+        sampler.sampling(eval_step, mstate, budget, 1, RoundStats())
+        t0 = time.perf_counter()
+        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
+        dt = time.perf_counter() - t0
+        return dt, num_rooms, num_rooms * points
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="pipeline",
+                   choices=["pipeline", "selection"])
+    args = p.parse_args()
+
+    if args.config == "selection":
+        dt, clouds, pts = measure_selection_round()
+        result = {
+            "metric": "al_selection_round_wall_clock",
+            "value": round(dt, 2),
+            "unit": f"s ({clouds} clouds, {pts} points)",
+            "vs_baseline": 0.0,  # reference wall-clock not measurable here
+        }
+        print(json.dumps(result))
+        return
+
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
     ref_pps = measure_reference_tfmap(1)

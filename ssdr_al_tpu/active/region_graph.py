@@ -62,12 +62,19 @@ def build_region_graph(
     cloud_xyz: Dict[str, np.ndarray],
     components: Dict[str, List[np.ndarray]],
     *,
-    max_points_per_sp: Optional[int] = None,
+    max_points_per_sp: Optional[int] = 512,
 ) -> RegionGraph:
     """regions_by_cloud: {cloud: [(sp_idx, is_labeled, dominant_point_ids)]}.
 
     Computes per-block ED (centroid Euclidean distance, NOT squared —
     fps_gcn_cpu.py:96-98) + pairwise chamfer (ops.chamfer, device).
+
+    max_points_per_sp caps the padded size for the chamfer computation:
+    superpoints above the cap are uniformly subsampled. Exact parity
+    (None) makes memory/work grow with (max superpoint size)² —
+    the reference's GPU chamfer had the same blow-up (the ~19 GB note in
+    run_semantic3d_0.012.sh:15); a 512-point subsample changes chamfer
+    means by O(1/√P) while keeping memory bounded.
     """
     refs: List[RegionRef] = []
     cloud_names = sorted(regions_by_cloud)
@@ -83,9 +90,15 @@ def build_region_graph(
         comps = components[name]
         sp_points = [xyz[comps[sp_idx]] for sp_idx, _, _ in regs]
         centroids = np.stack([bbox_center(p) for p in sp_points])
-        # chamfer on device over padded superpoints
+        # chamfer on device over padded superpoints; bound the live distance
+        # block (row_chunk · P · S · P · 4B) to ~256 MB
         pts, msk = pad_superpoints(sp_points, max_points=max_points_per_sp)
-        cd = np.asarray(chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk)))
+        s_pad, p_pad = msk.shape
+        budget = 256 * 1024 * 1024 // 4
+        row_chunk = max(1, min(8, budget // max(p_pad * s_pad * p_pad, 1)))
+        cd = np.asarray(
+            chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk), row_chunk)
+        )
         diff = centroids[:, None, :] - centroids[None, :, :]
         ed = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
         s = len(regs)

@@ -419,7 +419,8 @@ class TSampler:
             sp = self.state.load_superpoints(name)
             sp_points = [xyz[sp.components[r.sp_idx]] for r in cands]
             cents = np.stack([bbox_center(p) for p in sp_points])
-            pts, msk = pad_superpoints(sp_points)
+            # cap padded superpoint size (see region_graph.build_region_graph)
+            pts, msk = pad_superpoints(sp_points, max_points=512)
             cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
             sel = np.asarray(farthest_superpoint_sample(
                 jnp.asarray(cents), cd, 0, len(tops)

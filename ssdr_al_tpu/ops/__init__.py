@@ -9,7 +9,13 @@ TPU-native equivalents of the reference's native kernels (SURVEY.md §2.1):
   segment         ragged per-superpoint reductions with static shapes
 """
 
-from ssdr_al_tpu.ops.knn import knn, knn_pallas, knn_xla  # noqa: F401
+from ssdr_al_tpu.ops.knn import (  # noqa: F401
+    knn,
+    knn_approx,
+    knn_pallas,
+    knn_window,
+    knn_xla,
+)
 from ssdr_al_tpu.ops.grid_subsample import grid_subsample_np  # noqa: F401
 from ssdr_al_tpu.ops.chamfer import chamfer_pairwise  # noqa: F401
 from ssdr_al_tpu.ops.geof import geometric_features  # noqa: F401
