@@ -141,7 +141,9 @@ def measure_selection_round(num_rooms=4, points=20000, budget=60):
                                "NAIL", "0.9", "1", "1", "0"])
         compute_superpoints(train, state, 0.03, log=lambda *a: None)
         total = state.load_registry()
-        seeder = SeedSampler(state, train, total["sp_num"])
+        # the seed round lives under its own sampler-args dir, as in the CLI
+        seed_state = ALState(work, ["seed"])
+        seeder = SeedSampler(seed_state, train, total["sp_num"])
         seeder.sampling(max(1, total["sp_num"] // 20), 0, RoundStats())
 
         model = RandLANet(cfg)
