@@ -193,7 +193,9 @@ def main():
 
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
-    ref_pps = measure_reference_tfmap(1)
+    # best-of-2 for the host baseline (conservative: credits the reference
+    # its fastest observed run)
+    ref_pps = max(measure_reference_tfmap(1) for _ in range(2))
     result = {
         "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
         "value": round(tpu_pps, 1),

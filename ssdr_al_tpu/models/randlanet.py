@@ -208,7 +208,8 @@ def _pyramid_window_single(xyz, cfg: Config):
             if sorted_cur is None:
                 sorted_cur = sort_cloud(cur, lo, hi)
             neigh = knn_window_sorted(
-                sorted_cur, sorted_cur, cfg.k_n, window=self_window(n)
+                sorted_cur, sorted_cur, cfg.k_n, window=self_window(n),
+                self_query=True,
             )
         else:
             neigh = knn_approx(cur, cur, cfg.k_n)

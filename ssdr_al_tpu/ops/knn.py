@@ -318,26 +318,37 @@ def sort_cloud(xyz, lo, hi, pad_to=128) -> "SortedCloud":
 
 
 def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
-                      query_chunk=256, window=2048):
+                      query_chunk=256, window=2048, self_query=False):
     """Window KNN between pre-sorted clouds; indices returned in the ORIGINAL
-    support order, rows in the ORIGINAL query order."""
+    support order, rows in the ORIGINAL query order.
+
+    self_query=True (support IS the query cloud): each query's morton rank is
+    its own position, so the per-tile window starts are static — no
+    searchsorted / median reduction at all."""
     ns, nq = sup.n_real, qry.n_real
     nq_pad = _round_up(nq, query_chunk)
     q_sorted = jnp.concatenate(
         [qry.xyz_sorted[:nq],
          jnp.broadcast_to(qry.xyz_sorted[nq - 1], (nq_pad - nq, 3))], axis=0
     )
-    q_codes = jnp.concatenate(
-        [qry.codes_sorted, jnp.broadcast_to(qry.codes_sorted[nq - 1],
-                                            (nq_pad - nq,))]
-    )
-    pos = jnp.searchsorted(sup.codes_sorted, q_codes).astype(jnp.int32)
     ns_pad = sup.xyz_sorted.shape[0]
-    starts = jnp.clip(
-        jnp.median(pos.reshape(-1, query_chunk), axis=1).astype(jnp.int32)
-        - window // 2,
-        0, ns_pad - window,
-    )
+    num_tiles = nq_pad // query_chunk
+    if self_query:
+        centers = (
+            jnp.arange(num_tiles, dtype=jnp.int32) * query_chunk
+            + query_chunk // 2
+        )
+        pos_med = centers
+    else:
+        q_codes = jnp.concatenate(
+            [qry.codes_sorted, jnp.broadcast_to(qry.codes_sorted[nq - 1],
+                                                (nq_pad - nq,))]
+        )
+        pos = jnp.searchsorted(sup.codes_sorted, q_codes).astype(jnp.int32)
+        pos_med = jnp.median(pos.reshape(-1, query_chunk), axis=1).astype(
+            jnp.int32
+        )
+    starts = jnp.clip(pos_med - window // 2, 0, ns_pad - window)
     starts = (starts // 128) * 128
     rel = _run_window_pallas(
         sup.xyz_sorted, q_sorted, starts, k, query_chunk, window

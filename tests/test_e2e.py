@@ -17,6 +17,7 @@ def make_args(tmp_path, **over):
         test_area=5, reg_strength=0.05, synthetic=True, synthetic_rooms=2,
         synthetic_points=3000, num_points=512, max_epoch=2, train_steps=3,
         knn_engine="xla", seed_percent=0.1,
+        num_devices=1,
         sampler="T", round=2, rounds=2, classbal=2, edcd=0, gcn=0, gcn_fps=1,
         gcn_number=1, gcn_top=0, uncertainty_mode="WetSU",
         point_uncertainty_mode="sb", oracle_mode="NAIL", threshold=0.9,

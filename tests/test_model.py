@@ -165,3 +165,40 @@ class TestGradients:
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
+
+
+class TestOtherConfigs:
+    def test_semantickitti_4_layer_model(self, rng):
+        """The 4-layer SemanticKITTI config must flow through the same model
+        (the reference declares it but never wires it; here it is first-class)."""
+        import dataclasses as dc
+
+        from ssdr_al_tpu.config import ConfigSemanticKITTI
+
+        cfg = dc.replace(ConfigSemanticKITTI, num_points=512,
+                         d_out=(4, 8, 8, 8))
+        model = RandLANet(cfg)
+        xyz = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+        feats = jnp.asarray(rng.rand(1, 512, 6).astype(np.float32))
+        pyr = build_pyramid(xyz, cfg, engine="xla")
+        assert len(pyr.xyz) == 4
+        v = model.init({"params": jax.random.PRNGKey(0)}, feats, pyr, False)
+        logits, penult = model.apply(v, feats, pyr, False)
+        assert logits.shape == (1, 512, cfg.num_classes)
+
+    def test_semantic3d_ignored_label_loss(self, rng):
+        import dataclasses as dc
+
+        from ssdr_al_tpu.config import ConfigSemantic3D
+
+        cfg = dc.replace(ConfigSemantic3D, num_points=256)
+        table = label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
+        logits = jnp.asarray(rng.randn(1, 256, cfg.num_classes).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, cfg.num_classes + 1, (1, 256)))
+        act = jnp.ones((1, 256), jnp.float32)
+        w = np.ones(cfg.num_classes, np.float32)
+        loss, acc = masked_weighted_ce(
+            logits, labels, act, labels, w,
+            ignored_label_inds=cfg.ignored_label_inds, reduce_table=table,
+        )
+        assert np.isfinite(float(loss))
