@@ -37,13 +37,15 @@ def knn_graph(xyz: np.ndarray, k_adj: int, k_geof: int, backend: str = "auto"):
 
         backend = "device" if jax.default_backend() == "tpu" else "host"
     if backend == "device":
-        from ssdr_al_tpu.ops.knn import knn_xla
+        from ssdr_al_tpu.ops.knn import knn_approx
 
-        # bucket the cloud size so every cloud hits the same compiled kernel
+        # bucket the cloud size so every cloud hits the same compiled kernel;
+        # approx engine (recall ≥0.997): the 45-NN geof neighborhoods and the
+        # 10-NN partition graph are statistical features, not exact structures
         n_pad = ((n + 2047) // 2048) * 2048
         far = xyz.max(axis=0) + 1e5  # sentinel rows, never true neighbors
         xyz_p = np.vstack([xyz, np.tile(far, (n_pad - n, 1))]).astype(np.float32)
-        idx = np.asarray(knn_xla(xyz_p[None], xyz_p[None], k)[0])[:n]
+        idx = np.asarray(knn_approx(xyz_p[None], xyz_p[None], k)[0])[:n]
         d = np.sqrt(
             ((xyz[:, None, :] - xyz_p[idx[:, :k_adj + 1]]) ** 2).sum(-1)
         )

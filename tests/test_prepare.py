@@ -123,3 +123,35 @@ class TestVisualizeAndCV:
         np.testing.assert_array_equal(
             preds, sub_probs[proj].argmax(1) + 1
         )
+
+
+class TestProviderH5:
+    def test_spg_round_trip(self, rng, tmp_path):
+        from ssdr_al_tpu.partition.provider import (
+            read_components,
+            read_spg,
+            write_components,
+            write_spg,
+        )
+
+        a = rng.rand(40, 3).astype(np.float32)
+        b = rng.rand(40, 3).astype(np.float32) + [3, 0, 0]
+        xyz = np.vstack([a, b])
+        in_comp = np.array([0] * 40 + [1] * 40)
+        comps = [np.arange(40), np.arange(40, 80)]
+        labels = np.array([0] * 40 + [2] * 40)
+        g = compute_sp_graph(xyz, 0, in_comp, comps, labels, n_labels=3)
+
+        p = str(tmp_path / "g.h5")
+        write_spg(p, g)
+        g2 = read_spg(p)
+        np.testing.assert_allclose(g2["sp_centroids"], g["sp_centroids"])
+        np.testing.assert_array_equal(g2["source"], g["source"])
+        np.testing.assert_array_equal(g2["sp_labels"], g["sp_labels"])
+
+        cp = str(tmp_path / "c.h5")
+        write_components(cp, comps, in_comp)
+        comps2, in_comp2 = read_components(cp)
+        np.testing.assert_array_equal(in_comp2, in_comp)
+        for c1, c2 in zip(comps, comps2):
+            np.testing.assert_array_equal(c1, c2)
