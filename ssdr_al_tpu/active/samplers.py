@@ -68,15 +68,23 @@ class CloudInference:
 class InferenceRunner:
     """Chunked whole-cloud inference (the reference's mode='sampling' pass,
     sampler2.py:580-642 + compute_features:313-342 — fused into ONE pass here,
-    since both consume the same deterministic eval-mode forward)."""
+    since both consume the same deterministic eval-mode forward).
+
+    Chunks are stacked `chunk_batch` at a time into one device call (fewer
+    dispatches; with a mesh, the stacked chunk axis is the data-parallel
+    axis — the TPU analogue of the reference's octant-chunked big-cloud
+    inference, SURVEY §5)."""
 
     def __init__(self, cfg: Config, clouds: List[Cloud], eval_step, state,
-                 point_unc_mode: str, seed: int = 0):
+                 point_unc_mode: str, seed: int = 0, chunk_batch: int = 4,
+                 mesh=None):
         self.cfg = cfg
         self.clouds = {c.name: c for c in clouds}
         self.eval_step = eval_step
         self.state = state
         self.mode = point_unc_mode
+        self.chunk_batch = chunk_batch
+        self.mesh = mesh
         self.pipe = SamplingPipeline(clouds, cfg, seed=seed)
 
         @jax.jit
@@ -92,20 +100,40 @@ class InferenceRunner:
         prob_class = np.zeros(n, np.int32)
         unc = np.zeros(n, np.float32)
         penult = np.zeros((n, 32), np.float16)
-        # two-phase: enqueue every chunk's device work first, convert after —
-        # a per-chunk host sync would serialize this platform's ~30 ms
-        # dispatch round-trip into the loop
+        # stack chunks into fixed-size batches; enqueue ALL device work
+        # before converting (per-chunk host syncs would serialize this
+        # platform's ~30 ms dispatch round-trip into the loop)
+        chunks = list(self.pipe.cloud_chunks(cloud))
+        # adaptive group size: largest cb ≤ chunk_batch whose padding waste
+        # stays under 20% (a 5-chunk cloud at cb=4 would pad to 8 forwards)
+        cb = 1
+        for cand in range(min(self.chunk_batch, len(chunks)), 0, -1):
+            waste = -len(chunks) % cand
+            if waste <= max(1, len(chunks)) * 0.2:
+                cb = cand
+                break
         pending = []
-        for batch, idx, valid in self.pipe.cloud_chunks(cloud):
+        for s in range(0, len(chunks), cb):
+            group = chunks[s : s + cb]
+            while len(group) < cb:  # pad with a repeat; results discarded
+                group.append(group[-1])
+            batch = {
+                k: np.concatenate([g[0][k] for g in group], axis=0)
+                for k in group[0][0]
+            }
+            if self.mesh is not None:
+                from ssdr_al_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             probs, feats = self.eval_step(self.state, batch)
             cls, u = self._reduce(probs)
-            pending.append((idx, valid, cls, u, feats))
-        for idx, valid, cls, u, feats in pending:
-            cls, u, feats = (np.asarray(cls)[0], np.asarray(u)[0],
-                             np.asarray(feats)[0])
-            prob_class[idx[:valid]] = cls[:valid]
-            unc[idx[:valid]] = u[:valid]
-            penult[idx[:valid]] = feats[:valid].astype(np.float16)
+            pending.append((chunks[s : s + cb], cls, u, feats))
+        for group, cls, u, feats in pending:
+            cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)
+            for j, (_, idx, valid) in enumerate(group):
+                prob_class[idx[:valid]] = cls[j][:valid]
+                unc[idx[:valid]] = u[j][:valid]
+                penult[idx[:valid]] = feats[j][:valid].astype(np.float16)
         return CloudInference(prob_class, unc, penult)
 
 
