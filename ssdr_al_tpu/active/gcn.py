@@ -17,7 +17,6 @@ lax.scan-free python loop over a jitted step (fast enough: each step is tiny).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax

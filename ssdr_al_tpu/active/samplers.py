@@ -11,7 +11,7 @@ the sequential click-budget bookkeeping stays in host Python.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

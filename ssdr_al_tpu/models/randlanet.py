@@ -30,7 +30,7 @@ backward) is one compiled XLA program with static shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import flax.linen as nn
 import jax

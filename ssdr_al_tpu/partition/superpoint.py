@@ -14,7 +14,7 @@ Per-cloud driver with the semantics of partition/compute_superpoint.py:20-89:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

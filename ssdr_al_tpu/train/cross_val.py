@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import glob
 from os.path import join
-from typing import List
-
 import numpy as np
 
 from ssdr_al_tpu.data.ply import read_ply

@@ -17,7 +17,6 @@ from the sharding annotations, no hand-written collectives.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Callable, Dict, Optional
