@@ -105,9 +105,15 @@ class InferenceRunner:
         # platform's ~30 ms dispatch round-trip into the loop)
         chunks = list(self.pipe.cloud_chunks(cloud))
         # adaptive group size: largest cb ≤ chunk_batch whose padding waste
-        # stays under 20% (a 5-chunk cloud at cb=4 would pad to 8 forwards)
-        cb = 1
-        for cand in range(min(self.chunk_batch, len(chunks)), 0, -1):
+        # stays under 20% (a 5-chunk cloud at cb=4 would pad to 8 forwards).
+        # With a mesh, cb must also be a multiple of the mesh size so the
+        # stacked chunk axis shards evenly over the data axis.
+        m = 1 if self.mesh is None else int(self.mesh.devices.size)
+        max_cb = (max(self.chunk_batch, m) // m) * m
+        cb = m
+        for cand in range(max_cb, m - 1, -m):
+            if cand > -(-len(chunks) // m) * m:
+                continue  # group larger than the whole (mesh-rounded) cloud
             waste = -len(chunks) % cand
             if waste <= max(1, len(chunks)) * 0.2:
                 cb = cand
@@ -282,11 +288,15 @@ class TSamplerArgs:
     min_size: int = 1
     gcn_number: int = 1
     gcn_top: int = 0
+    # cap on padded superpoint size for the pairwise chamfer (region_graph);
+    # 0 = exact parity (no subsampling, memory grows with max-sp-size²)
+    chamfer_cap: int = 512
 
 
 class TSampler:
     def __init__(self, state: ALState, clouds: List[Cloud], cfg: Config,
-                 args: TSamplerArgs, total_num: int, seed: int = 0):
+                 args: TSamplerArgs, total_num: int, seed: int = 0,
+                 mesh=None):
         self.state = state
         self.clouds = clouds
         self.cloud_by_name = {c.name: c for c in clouds}
@@ -294,6 +304,7 @@ class TSampler:
         self.args = args
         self.total_num = total_num
         self.rng = np.random.RandomState(seed)
+        self.mesh = mesh  # optional Mesh: selection inference is data-parallel
 
     # -------------------------------------------------------- prediction ---
     def prediction(self, eval_step, model_state, total_obj, round_num,
@@ -304,6 +315,7 @@ class TSampler:
         runner = InferenceRunner(
             self.cfg, self.clouds, eval_step, model_state,
             a.point_uncertainty_mode, seed=self.rng.randint(1 << 31),
+            mesh=self.mesh,
         )
         region_unc: List[float] = []
         region_class: List[int] = []
@@ -448,7 +460,9 @@ class TSampler:
             sp_points = [xyz[sp.components[r.sp_idx]] for r in cands]
             cents = np.stack([bbox_center(p) for p in sp_points])
             # cap padded superpoint size (see region_graph.build_region_graph)
-            pts, msk = pad_superpoints(sp_points, max_points=512)
+            pts, msk = pad_superpoints(
+                sp_points, max_points=self.args.chamfer_cap or None
+            )
             cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
             sel = np.asarray(farthest_superpoint_sample(
                 jnp.asarray(cents), cd, 0, len(tops)
@@ -485,7 +499,10 @@ class TSampler:
         components = {
             n: self.state.load_superpoints(n).components for n in regions_by_cloud
         }
-        graph = build_region_graph(regions_by_cloud, cloud_xyz, components)
+        graph = build_region_graph(
+            regions_by_cloud, cloud_xyz, components,
+            max_points_per_sp=a.chamfer_cap or None,
+        )
 
         # region features: mean penultimate feature over dominant point ids
         # (compute_features, sampler2.py:313-342) — reusing the pass-1 features

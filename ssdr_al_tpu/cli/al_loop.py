@@ -18,14 +18,13 @@ from ssdr_al_tpu.active.state import RoundStats
 from ssdr_al_tpu.cli.common import (
     add_common_args,
     log_out,
+    make_evaluator,
     make_record_file,
     make_trainer,
     make_training_pipeline,
     pseudo_gt_for_round,
     setup_experiment,
 )
-from ssdr_al_tpu.train.evaluator import Evaluator
-
 
 def build_sampler_args(args) -> list:
     """The experiment-ID list (ssdr_main_S3DIS2.py:91-127)."""
@@ -67,12 +66,16 @@ def run_al_loop(args):
     elif args.gcn_fps:
         diversity = "gcn_fps"
 
+    trainer = make_trainer(exp, sampler_args, args.knn_engine,
+                           num_devices=args.num_devices)
     if args.sampler == "random":
         sampler = RandomSampler(
             state, exp.train_clouds, total_sp_num, args.min_size,
             oracle_mode=args.oracle_mode, seed=args.t,
         )
     else:
+        # selection inference shares the trainer's data-parallel mesh: the
+        # stacked chunk axis is sharded over chips (InferenceRunner)
         sampler = TSampler(
             state, exp.train_clouds, exp.cfg,
             TSamplerArgs(
@@ -85,15 +88,13 @@ def run_al_loop(args):
                 min_size=args.min_size,
                 gcn_number=args.gcn_number,
                 gcn_top=args.gcn_top,
+                chamfer_cap=getattr(args, "chamfer_cap", 512),
             ),
-            total_sp_num, seed=args.t,
+            total_sp_num, seed=args.t, mesh=trainer.mesh,
         )
-
-    trainer = make_trainer(exp, sampler_args, args.knn_engine,
-                           num_devices=args.num_devices)
     pipe0 = make_training_pipeline(exp)
     trainer.init_state(pipe0.sample_batch(exp.cfg.batch_size))
-    evaluate = Evaluator(exp.cfg, exp.val_clouds)
+    evaluate = make_evaluator(exp, mesh=trainer.mesh)
 
     sp_batch_size = args.sp_batch_size or exp.cfg.sp_batch_size
     last = args.rounds if args.rounds else exp.cfg.al_rounds[1]
@@ -151,6 +152,9 @@ def main(argv=None):
     p.add_argument("--oracle_mode", type=str, default="dominant",
                    choices=["dominant", "NAIL"])
     p.add_argument("--threshold", type=float, default=0.9)
+    p.add_argument("--chamfer_cap", type=int, default=512,
+                   help="padded superpoint size cap for pairwise chamfer "
+                        "(0 = exact parity, unbounded)")
     p.add_argument("--min_size", type=int, default=1)
     p.add_argument("--t", type=int, default=0)
     p.add_argument("--sp_batch_size", type=int, default=0,

@@ -12,14 +12,13 @@ from ssdr_al_tpu.active.state import RoundStats
 from ssdr_al_tpu.cli.common import (
     add_common_args,
     log_out,
+    make_evaluator,
     make_record_file,
     make_trainer,
     make_training_pipeline,
     pseudo_gt_for_round,
     setup_experiment,
 )
-from ssdr_al_tpu.train.evaluator import Evaluator
-
 
 def run_baseline(args):
     exp = setup_experiment(args)
@@ -40,7 +39,7 @@ def run_baseline(args):
     round_dir = state.round_dir(1)
     pipe = make_training_pipeline(exp, pseudo_gt=pseudo_gt_for_round(state, round_dir, exp.train_clouds),)
     trainer.init_state(pipe.sample_batch(exp.cfg.batch_size))
-    evaluate = Evaluator(exp.cfg, exp.val_clouds)
+    evaluate = make_evaluator(exp, mesh=trainer.mesh)
     miou, oa = trainer.train_round(
         1, lambda epoch: pipe.batches(exp.cfg.train_steps, exp.cfg.batch_size),
         evaluate,

@@ -177,6 +177,16 @@ def make_trainer(exp: Experiment, sampler_args, knn_engine="window",
     return trainer
 
 
+def make_evaluator(exp: Experiment, mesh=None, **kw):
+    """Evaluator over the validation clouds. Full-resolution reprojection
+    (val_proj/val_labels from `<cloud>_proj.pkl`) is picked up automatically
+    when every val cloud carries it (RandLANet.py:375-419 protocol); `mesh`
+    shards the eval batch axis over chips."""
+    from ssdr_al_tpu.train.evaluator import Evaluator
+
+    return Evaluator(exp.cfg, exp.val_clouds, mesh=mesh, **kw)
+
+
 def make_record_file(args, sampler_args, suffix="") -> "os.PathLike":
     from ssdr_al_tpu.active.state import sampler_args_str
 

@@ -56,21 +56,48 @@ def run_evaluate(args):
             pending.append((idx, valid, probs))
         for idx, valid, probs in pending:
             probs_sum[idx[:valid]] += np.asarray(probs)[0][:valid]
-        pred = probs_sum.argmax(axis=1)
+
+        if cloud.proj_idx is not None:
+            # reproject sub-cloud votes to the full-resolution points
+            # (RandLANet.py:375-419; write_Semantic3d.py interpolate step):
+            # predictions and metrics below are FULL resolution
+            pred = probs_sum[cloud.proj_idx].argmax(axis=1)
+            gt = cloud.full_labels
+            xyz = _full_res_xyz(exp.input_path, cloud.name)
+            if xyz is None:  # original_ply absent: keep sub xyz per point via proj
+                xyz = cloud.xyz[cloud.proj_idx]
+            proj = cloud.proj_idx
+        else:
+            pred = probs_sum.argmax(axis=1)
+            gt = cloud.labels
+            xyz = cloud.xyz
+            proj = np.arange(cloud.num_points)
         write_prediction_ply(
-            os.path.join(args.out, cloud.name + ".ply"),
-            cloud.xyz, pred, cloud.labels,
+            os.path.join(args.out, cloud.name + ".ply"), xyz, pred, gt,
         )
         if args.export_labels:
             export_semantic3d_labels(
                 os.path.join(args.out, cloud.name + ".labels"),
-                probs_sum, np.arange(cloud.num_points),
+                probs_sum, proj,
                 label_values=np.arange(1, cfg.num_classes + 1),
             )
     result = score_prediction_plys(args.out, cfg.num_classes)
     print(f"OA={result['oa']:.4f} mIoU={result['miou']:.4f} "
           f"IoU={['%.3f' % x for x in result['iou']]}")
     return result
+
+
+def _full_res_xyz(input_path: str, name: str):
+    """xyz of the original (full-resolution) cloud, if the prep step kept it
+    (data/prepare.py writes original_ply/ next to input_<grid>/)."""
+    from ssdr_al_tpu.data.ply import read_ply
+
+    path = os.path.join(os.path.dirname(input_path), "original_ply",
+                        name + ".ply")
+    if not os.path.exists(path):
+        return None
+    data = read_ply(path)
+    return np.vstack((data["x"], data["y"], data["z"])).T.astype(np.float32)
 
 
 def main(argv=None):

@@ -24,12 +24,20 @@ from ssdr_al_tpu.data.ply import read_ply
 
 @dataclasses.dataclass
 class Cloud:
-    """One subsampled training/eval cloud (contents of input_<grid>/<name>.ply)."""
+    """One subsampled training/eval cloud (contents of input_<grid>/<name>.ply).
+
+    proj_idx/full_labels carry the full-resolution reprojection artifact
+    (`<name>_proj.pkl`, written at prep time — the reference's val_proj /
+    val_labels pair, data_prepare_s3dis.py:68-72): proj_idx[i] is the index of
+    the sub point nearest to full-res point i, full_labels[i] its true label.
+    """
 
     name: str
     xyz: np.ndarray        # [N, 3] float32
     colors: np.ndarray     # [N, 3] float32 (0..1)
     labels: np.ndarray     # [N] int32
+    proj_idx: Optional[np.ndarray] = None    # [N_full] int32, sub index per full point
+    full_labels: Optional[np.ndarray] = None  # [N_full] int32
 
     @property
     def num_points(self) -> int:
@@ -42,8 +50,18 @@ def load_cloud(ply_path: str) -> Cloud:
     colors = np.vstack((data["red"], data["green"], data["blue"])).T.astype(np.float32)
     labels = np.asarray(data["class"]).astype(np.int32)
     name = os.path.basename(ply_path)[:-4]
+    proj_idx = full_labels = None
+    proj_path = ply_path[:-4] + "_proj.pkl"
+    if os.path.exists(proj_path):
+        import pickle
+
+        with open(proj_path, "rb") as f:
+            proj_idx, full_labels = pickle.load(f)
+        proj_idx = np.asarray(proj_idx).astype(np.int64)
+        full_labels = np.asarray(full_labels).astype(np.int32)
     return Cloud(name=name, xyz=np.ascontiguousarray(xyz),
-                 colors=np.ascontiguousarray(colors), labels=labels)
+                 colors=np.ascontiguousarray(colors), labels=labels,
+                 proj_idx=proj_idx, full_labels=full_labels)
 
 
 def load_clouds(input_dir: str, *, include=None, exclude=None) -> List[Cloud]:

@@ -54,13 +54,18 @@ class Evaluator:
     def __init__(self, cfg: Config, clouds: List[Cloud], *,
                  val_proj: Optional[List[np.ndarray]] = None,
                  val_labels: Optional[List[np.ndarray]] = None,
-                 seed: int = 0, max_epochs: int = 100):
+                 seed: int = 0, max_epochs: int = 100, mesh=None):
         self.cfg = cfg
         self.clouds = clouds
+        if val_proj is None and all(c.proj_idx is not None for c in clouds):
+            # projection artifacts loaded with the clouds (_proj.pkl)
+            val_proj = [c.proj_idx for c in clouds]
+            val_labels = [c.full_labels for c in clouds]
         self.val_proj = val_proj
         self.val_labels = val_labels
         self.seed = seed
         self.max_epochs = max_epochs
+        self.mesh = mesh  # optional Mesh: shard the eval batch axis over chips
 
     def __call__(self, eval_step, state):
         """Returns (mIoU, OA). eval_step(state, batch) → (probs, penult)."""
@@ -73,14 +78,28 @@ class Evaluator:
         test_smooth = 0.95
         last_min = -0.5
 
+        bs = cfg.val_batch_size
+        if self.mesh is not None:
+            # round the batch up to a mesh multiple: every row is a real
+            # possibility-scheduled block (extra rows just advance coverage),
+            # so no padding/masking is needed
+            m = self.mesh.devices.size
+            bs = -(-bs // m) * m
+
         for _ in range(self.max_epochs):
             # enqueue device work for the whole epoch, then fold results —
             # block sampling is possibility-driven on the host and does not
             # depend on the probabilities, so dispatches pipeline freely
             pending = []
             for _ in range(cfg.val_steps):
-                batch = pipe.get_batch(cfg.val_batch_size)
-                probs, _ = eval_step(state, batch)
+                batch = pipe.get_batch(bs)
+                if self.mesh is not None:
+                    from ssdr_al_tpu.parallel.mesh import shard_batch
+
+                    dev_batch = shard_batch(batch, self.mesh)
+                else:
+                    dev_batch = batch
+                probs, _ = eval_step(state, dev_batch)
                 pending.append((batch, probs))
                 if pipe.global_min > last_min + 1:
                     break
@@ -114,16 +133,23 @@ class Evaluator:
             c = np.sum(confs, axis=0)
             oa = correct / max(seen, 1)
         else:
-            # sub-cloud confusion only (synthetic / no-projection datasets)
+            # sub-cloud confusion only (synthetic / no-projection datasets),
+            # rows rescaled to the true per-class point proportions as the
+            # reference does for its sub-cloud vote (RandLANet.py:298-302,365)
             confs = []
             correct, seen = 0, 0
+            proportions = np.zeros(cfg.num_classes, np.float64)
             for ci, cloud in enumerate(self.clouds):
                 preds = test_probs[ci].argmax(axis=1)
                 labels = cloud.labels
                 correct += int((preds == labels).sum())
                 seen += len(labels)
                 confs.append(confusion_matrix(labels, preds, cfg.num_classes))
-            c = np.sum(confs, axis=0)
+                proportions += np.bincount(
+                    labels, minlength=cfg.num_classes
+                ).astype(np.float64)
+            c = np.sum(confs, axis=0).astype(np.float64)
+            c *= (proportions / (c.sum(axis=1) + 1e-6))[:, None]
             oa = correct / max(seen, 1)
-        ious = iou_from_confusion(c.astype(np.float64))
+        ious = iou_from_confusion(np.asarray(c, np.float64))
         return float(np.mean(ious)), float(oa)

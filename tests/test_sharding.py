@@ -105,3 +105,113 @@ def test_trainer_with_mesh(rng, tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "snap" / "snap-1"))
+
+
+def test_selection_inference_dp_matches_single_device(rng):
+    """InferenceRunner over the 8-device mesh == single-device output
+    (the AL selection round's forward pass, sharded chunk axis)."""
+    from ssdr_al_tpu.active.samplers import InferenceRunner
+    from ssdr_al_tpu.data.cloud import Cloud
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+
+    cfg = TINY
+    model = RandLANet(cfg)
+    n = 512 * 5  # 5 chunks: exercises the mesh-multiple group padding
+    cloud = Cloud(
+        name="c",
+        xyz=(rng.rand(n, 3) * 6).astype(np.float32),
+        colors=rng.rand(n, 3).astype(np.float32),
+        labels=rng.randint(0, cfg.num_classes, n).astype(np.int32),
+    )
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": rng.rand(1, cfg.num_points, 3).astype(np.float32),
+         "features": rng.rand(1, cfg.num_points, 6).astype(np.float32)},
+        steps_per_epoch=10,
+    )
+    eval_step = make_eval_step(model, cfg, "xla")
+
+    single = InferenceRunner(cfg, [cloud], eval_step, state, "sb",
+                             seed=7).run(cloud)
+    mesh = make_mesh()
+    state_repl = jax.device_put(state, replicated_sharding(mesh))
+    dp = InferenceRunner(cfg, [cloud], eval_step, state_repl, "sb",
+                         seed=7, mesh=mesh).run(cloud)
+
+    np.testing.assert_array_equal(dp.prob_class, single.prob_class)
+    np.testing.assert_allclose(dp.uncertainty, single.uncertainty, atol=1e-5)
+    np.testing.assert_allclose(
+        dp.penult.astype(np.float32), single.penult.astype(np.float32),
+        atol=1e-2,
+    )
+
+
+def test_inference_runner_group_size_is_mesh_multiple(rng):
+    """The adaptive chunk group size must shard evenly (VERDICT weak #5)."""
+    from ssdr_al_tpu.active.samplers import InferenceRunner
+    from ssdr_al_tpu.data.cloud import Cloud
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+
+    cfg = TINY
+    model = RandLANet(cfg)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": rng.rand(1, cfg.num_points, 3).astype(np.float32),
+         "features": rng.rand(1, cfg.num_points, 6).astype(np.float32)},
+        steps_per_epoch=10,
+    )
+    eval_step = make_eval_step(model, cfg, "xla")
+    mesh = make_mesh()
+    state_repl = jax.device_put(state, replicated_sharding(mesh))
+    # awkward chunk counts: 1, 3, 5 chunks — all must run without divisibility
+    # errors on an 8-device mesh
+    for n_chunks in (1, 3, 5):
+        n = 512 * n_chunks
+        cloud = Cloud(
+            name="c",
+            xyz=(rng.rand(n, 3) * 6).astype(np.float32),
+            colors=rng.rand(n, 3).astype(np.float32),
+            labels=rng.randint(0, cfg.num_classes, n).astype(np.int32),
+        )
+        out = InferenceRunner(cfg, [cloud], eval_step, state_repl, "sb",
+                              seed=1, mesh=mesh).run(cloud)
+        assert out.prob_class.shape == (n,)
+        assert np.isfinite(out.uncertainty).all()
+
+
+def test_evaluator_dp_matches_single_device(rng):
+    """Evaluator over the mesh == single-device (val_batch_size already a mesh
+    multiple, so the possibility schedule is identical)."""
+    from ssdr_al_tpu.data.cloud import Cloud
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.evaluator import Evaluator
+    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+
+    cfg = dataclasses.replace(TINY, val_batch_size=8, val_steps=4)
+    model = RandLANet(cfg)
+    n = 1400
+    cloud = Cloud(
+        name="c",
+        xyz=(rng.rand(n, 3) * 6).astype(np.float32),
+        colors=rng.rand(n, 3).astype(np.float32),
+        labels=rng.randint(0, cfg.num_classes, n).astype(np.int32),
+    )
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": rng.rand(1, cfg.num_points, 3).astype(np.float32),
+         "features": rng.rand(1, cfg.num_points, 6).astype(np.float32)},
+        steps_per_epoch=10,
+    )
+    eval_step = make_eval_step(model, cfg, "xla")
+
+    miou_s, oa_s = Evaluator(cfg, [cloud], seed=3, max_epochs=2)(
+        eval_step, state
+    )
+    mesh = make_mesh()
+    state_repl = jax.device_put(state, replicated_sharding(mesh))
+    miou_dp, oa_dp = Evaluator(cfg, [cloud], seed=3, max_epochs=2,
+                               mesh=mesh)(eval_step, state_repl)
+    np.testing.assert_allclose(miou_dp, miou_s, atol=1e-5)
+    np.testing.assert_allclose(oa_dp, oa_s, atol=1e-5)
