@@ -6,16 +6,18 @@ CPU workers (DP.knn_search via the nanoflann C++ extension, the pipeline's
 documented bottleneck — SURVEY.md §3.2) and the TF1 forward on one GPU; here
 both are one fused XLA program on one TPU chip.
 
-vs_baseline: ratio against a faithful re-execution of the reference's
-host-side tf_map (s3dis_dataset.py:156-183) on this machine — the same 5-layer
-KNN/pool/upsample index computation with a KD-tree backend (sklearn, the same
-algorithmic class as the reference's nanoflann, measured single-core like the
-reference's per-worker cost). The reference's GPU forward time is NOT included
-in the baseline (no TF1/GPU here), making the reported speedup a LOWER bound
-on full-pipeline speedup.
+vs_baseline (honest framing, VERDICT round-1 #4): ratio against the
+reference's host-side tf_map (s3dis_dataset.py:156-183) re-executed with
+scipy's C cKDTree (the same algorithmic class as nanoflann) and credited
+LINEAR SCALING ACROSS THE REFERENCE'S 6 DataLoader WORKERS
+(RandLANet.py:226) — i.e. baseline = 6 × the fastest observed single-worker
+throughput, even though this host has one core. The reference's GPU forward
+time is still NOT charged to the baseline, keeping the ratio a lower bound.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "points/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "points/s/chip", "vs_baseline": N,
+   "extras": {train-step points/s, 1-worker/6-worker host baselines,
+              window-KNN recall, AL selection-round wall-clock}}
 """
 
 from __future__ import annotations
@@ -26,8 +28,18 @@ import time
 
 import numpy as np
 
+REF_WORKERS = 6  # the reference's DataLoader(num_workers=6), RandLANet.py:226
 
-def measure_tpu(batch_size: int, warmup: int = 2, iters: int = 10):
+
+def _sync(x):
+    """block_until_ready is unreliable on the axon TPU platform — force
+    completion by pulling a reduction back to the host."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def measure_tpu(batch_size: int, iters: int = 10):
     import jax
     import jax.numpy as jnp
 
@@ -69,24 +81,80 @@ def measure_tpu(batch_size: int, warmup: int = 2, iters: int = 10):
         x, _ = jax.lax.scan(body, xyz, None, length=iters)
         return x
 
-    def sync(x):
-        # block_until_ready is unreliable on the axon TPU platform — force
-        # completion by pulling a reduction back to the host
-        return float(jnp.sum(x))
-
-    sync(fwd_chain(xyz_d, feats_d))  # compile
+    _sync(fwd_chain(xyz_d, feats_d))  # compile
     t0 = time.perf_counter()
-    sync(fwd_chain(xyz_d, feats_d))
-    t1 = time.perf_counter()
-    # subtract the one-call dispatch latency measured with a single iteration
-    dt = (t1 - t0) / iters
+    _sync(fwd_chain(xyz_d, feats_d))
+    dt = (time.perf_counter() - t0) / iters
     return batch_size * cfg.num_points / dt
+
+
+def measure_train_step(batch_size: int, iters: int = 8):
+    """Full training step (pyramid + forward + loss + backward + Adam),
+    chained on device — the production training-loop throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ssdr_al_tpu.config import ConfigS3DIS, class_weights
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = ConfigS3DIS
+    model = RandLANet(cfg)
+    rng = np.random.RandomState(0)
+    b, n = batch_size, cfg.num_points
+    batch = {
+        "xyz": (rng.rand(b, n, 3) * 10).astype(np.float32),
+        "features": rng.rand(b, n, 6).astype(np.float32),
+        "labels": rng.randint(0, cfg.num_classes, (b, n)).astype(np.int32),
+        "activation": np.ones((b, n), np.float32),
+        "pseudo": rng.randint(0, cfg.num_classes, (b, n)).astype(np.int32),
+    }
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": batch["xyz"], "features": batch["features"]},
+        steps_per_epoch=500,
+    )
+    train_step = make_train_step(model, cfg, class_weights("S3DIS"))
+    batch_d = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+
+    state, metrics = train_step(state, batch_d, key)  # compile
+    _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):  # steps chain through `state` on device
+        state, metrics = train_step(state, batch_d, key)
+    _sync(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return b * n / dt
+
+
+def measure_window_recall(n: int = 40960, k: int = 16):
+    """Recall of the default window KNN engine vs exact XLA KNN on one block
+    (regression gate for the Pallas/window kernel, VERDICT round-1 #7)."""
+    import jax.numpy as jnp
+
+    from ssdr_al_tpu.ops.knn import knn
+
+    rng = np.random.RandomState(0)
+    xyz = (rng.rand(1, n, 3) * 10).astype(np.float32)
+    x = jnp.asarray(xyz)
+    idx_w = np.asarray(knn(x, x, k, engine="window"))[0]
+    idx_e = np.asarray(knn(x, x, k, engine="xla"))[0]
+    hits = 0
+    for i in range(0, n, 37):  # sampled rows (row-set comparison on host)
+        hits += len(np.intersect1d(idx_w[i], idx_e[i]))
+    rows = len(range(0, n, 37))
+    return hits / (rows * k)
 
 
 def measure_reference_tfmap(batch_size: int = 1):
     """Reference host-side tf_map re-execution (s3dis_dataset.py:156-183):
-    per layer, KNN(k=16) self-search + 1-NN upsample search with a KD-tree."""
-    from sklearn.neighbors import KDTree
+    per layer, KNN(k=16) self-search + 1-NN upsample search. Backend is
+    scipy's C cKDTree — the same algorithmic class as the reference's
+    nanoflann (utils/nearest_neighbors/knn_.h)."""
+    from scipy.spatial import cKDTree
 
     from ssdr_al_tpu.config import ConfigS3DIS
 
@@ -100,11 +168,11 @@ def measure_reference_tfmap(batch_size: int = 1):
         n = cur.shape[1]
         n_sub = n // cfg.sub_sampling_ratio[i]
         for b in range(batch_size):
-            tree = KDTree(cur[b])
+            tree = cKDTree(cur[b])
             tree.query(cur[b], k=cfg.k_n)                 # neighbour_idx
         sub = cur[:, :n_sub, :]
         for b in range(batch_size):
-            tree = KDTree(sub[b])
+            tree = cKDTree(sub[b])
             tree.query(cur[b], k=1)                       # up_i
         cur = sub
     dt = time.perf_counter() - t0
@@ -178,6 +246,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="pipeline",
                    choices=["pipeline", "selection"])
+    p.add_argument("--skip_selection", action="store_true",
+                   help="omit the AL selection-round extra (saves ~1 min)")
     args = p.parse_args()
 
     if args.config == "selection":
@@ -193,14 +263,29 @@ def main():
 
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
-    # best-of-2 for the host baseline (conservative: credits the reference
-    # its fastest observed run)
-    ref_pps = max(measure_reference_tfmap(1) for _ in range(2))
+    train_pps = measure_train_step(batch)
+    recall = measure_window_recall()
+    # best-of-2 single-worker host tf_map, then credit the reference its
+    # 6 DataLoader workers with ideal linear scaling (see module docstring)
+    host_1w = max(measure_reference_tfmap(1) for _ in range(2))
+    host_6w = host_1w * REF_WORKERS
+
+    extras = {
+        "train_step_points_per_sec_per_chip": round(train_pps, 1),
+        "host_tfmap_1worker_points_per_sec": round(host_1w, 1),
+        "host_tfmap_6worker_points_per_sec": round(host_6w, 1),
+        "knn_window_recall_at_16": round(recall, 4),
+    }
+    if not args.skip_selection:
+        dt, clouds, pts = measure_selection_round()
+        extras["al_selection_round_s"] = round(dt, 2)
+        extras["al_selection_round_workload"] = f"{clouds} clouds, {pts} points"
     result = {
         "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
         "value": round(tpu_pps, 1),
         "unit": "points/s/chip",
-        "vs_baseline": round(tpu_pps / ref_pps, 2),
+        "vs_baseline": round(tpu_pps / host_6w, 2),
+        "extras": extras,
     }
     print(json.dumps(result))
 
