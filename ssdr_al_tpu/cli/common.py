@@ -48,7 +48,7 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--train_steps", type=int, default=0,
                    help="override cfg.train_steps (0 = dataset default)")
     p.add_argument("--knn_engine", type=str, default="window",
-                   choices=["window", "approx", "xla", "pallas"])
+                   choices=["window", "window_og", "approx", "xla", "pallas"])
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel chips (batch_size must be divisible)")
 

@@ -45,6 +45,11 @@ from ssdr_al_tpu.ops.knn import knn
 _CONV_INIT = nn.initializers.truncated_normal(stddev=1e-3)
 _DENSE_INIT = nn.initializers.glorot_uniform()
 
+# queries per windowed-gather kernel tile (ops/gather.py); larger tiles
+# amortize per-tile DMA/dispatch (measured 22.8→17.3 ms at 512 on the
+# bench block) at the cost of a (TQ−256)-wider slab window
+_GATHER_TQ = 512
+
 
 def leaky_relu(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
@@ -79,9 +84,30 @@ def gather_neighbour(pc, neighbor_idx):
     return out.reshape(b, m, k, pc.shape[-1])
 
 
-def relative_pos_encoding(xyz, neigh_idx):
-    """10-d per-edge geometry: [dist, rel_xyz, xyz, neigh_xyz] (RandLANet.py:529-535)."""
-    neighbor_xyz = gather_neighbour(xyz, neigh_idx)                 # [B,N,k,3]
+def gather_neighbour_fast(pc, neighbor_idx, starts, window: int):
+    """gather_neighbour through the windowed Pallas MXU kernel when the
+    sorted-space window invariant holds (starts per 128-query tile from the
+    KNN search; see ops/gather.py). XLA's per-row gather costs ~12 ns/row on
+    this platform — the kernel is ~2× faster AND channel-count-free, so
+    callers concatenate xyz+features into one call. Values round to bf16."""
+    if starts is None:
+        return gather_neighbour(pc, neighbor_idx)
+    from ssdr_al_tpu.ops.gather import gather_window, pad_channels
+
+    c = pc.shape[-1]
+    k = neighbor_idx.shape[-1]
+    pc_pad, _ = pad_channels(pc, k=k)
+    out = gather_window(pc_pad, neighbor_idx, starts, window, _GATHER_TQ)
+    return out[..., :c]
+
+
+def relative_pos_encoding(xyz, neigh_idx, neighbor_xyz=None):
+    """10-d per-edge geometry: [dist, rel_xyz, xyz, neigh_xyz] (RandLANet.py:529-535).
+
+    neighbor_xyz may be passed in pre-gathered (the fast path gathers xyz and
+    features in one fused kernel call)."""
+    if neighbor_xyz is None:
+        neighbor_xyz = gather_neighbour(xyz, neigh_idx)             # [B,N,k,3]
     xyz_tile = jnp.broadcast_to(
         xyz[:, :, None, :], neighbor_xyz.shape
     )
@@ -128,23 +154,41 @@ class AttPooling(nn.Module):
 
 
 class BuildingBlock(nn.Module):
-    """Local feature aggregation (RandLANet.py:514-527)."""
+    """Local feature aggregation (RandLANet.py:514-527).
+
+    On the sorted-space fast path (starts is not None) the two per-edge
+    gathers go through the windowed Pallas kernel, with xyz and features
+    CONCATENATED into one call (the kernel's cost is channel-count-free)."""
 
     d_out: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, feature, neigh_idx, train: bool):
+    def __call__(self, xyz, feature, neigh_idx, train: bool,
+                 starts=None, window: int = 0):
         d_in = feature.shape[-1]
-        f_xyz10 = relative_pos_encoding(xyz, neigh_idx).astype(self.dtype)
+        if starts is not None:
+            both = gather_neighbour_fast(
+                jnp.concatenate([xyz, feature.astype(jnp.float32)], axis=-1),
+                neigh_idx, starts, window,
+            )
+            neighbor_xyz = both[..., :3]
+            f_neighbours = both[..., 3:].astype(feature.dtype)
+        else:
+            neighbor_xyz = None
+            f_neighbours = gather_neighbour(feature, neigh_idx)     # [B,N,k,d_in]
+        f_xyz10 = relative_pos_encoding(
+            xyz, neigh_idx, neighbor_xyz
+        ).astype(self.dtype)
         f_xyz = SharedMLP(d_in, dtype=self.dtype, name="mlp1")(f_xyz10, train)
-        f_neighbours = gather_neighbour(feature, neigh_idx)         # [B,N,k,d_in]
         f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
         f_pc_agg = AttPooling(self.d_out // 2, dtype=self.dtype,
                               name="att_pooling_1")(f_concat, train)
 
         f_xyz = SharedMLP(self.d_out // 2, dtype=self.dtype, name="mlp2")(f_xyz, train)
-        f_neighbours = gather_neighbour(f_pc_agg, neigh_idx)
+        f_neighbours = gather_neighbour_fast(
+            f_pc_agg.astype(jnp.float32), neigh_idx, starts, window
+        ).astype(f_pc_agg.dtype)
         f_concat = jnp.concatenate([f_neighbours, f_xyz], axis=-1)
         return AttPooling(self.d_out, dtype=self.dtype,
                           name="att_pooling_2")(f_concat, train)
@@ -157,10 +201,11 @@ class DilatedResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feature, xyz, neigh_idx, train: bool):
+    def __call__(self, feature, xyz, neigh_idx, train: bool,
+                 starts=None, window: int = 0):
         f_pc = SharedMLP(self.d_out // 2, dtype=self.dtype, name="mlp1")(feature, train)
         f_pc = BuildingBlock(self.d_out, dtype=self.dtype, name="lfa")(
-            xyz, f_pc, neigh_idx, train)
+            xyz, f_pc, neigh_idx, train, starts, window)
         f_pc = SharedMLP(2 * self.d_out, act=False, dtype=self.dtype,
                          name="mlp2")(f_pc, train)
         shortcut = SharedMLP(2 * self.d_out, act=False, dtype=self.dtype,
@@ -182,6 +227,39 @@ jax.tree_util.register_pytree_node(
     Pyramid,
     lambda p: ((p.xyz, p.neigh_idx, p.sub_idx, p.interp_idx), None),
     lambda _, c: Pyramid(*c),
+)
+
+
+@dataclasses.dataclass
+class SortedPyramid:
+    """Pyramid in per-layer MORTON-SORTED space (the TPU fast path).
+
+    Keeping the model in sorted space removes the O(N·k)-row index-unsort
+    gathers of the search AND lets the per-edge feature gathers use the
+    windowed MXU kernel (ops/gather.py): neigh_idx of tile t is guaranteed
+    to lie in [starts[t], starts[t]+window) whenever starts is not None.
+
+    order: [B, N] original→sorted gather permutation (x_sorted = x[order]);
+    inv:   [B, N] sorted→original (logits_orig = logits_sorted[inv]).
+    Layer i+1's sorted order is layer i's restricted to the kept subset (the
+    morton key is shared), so `sub_idx`/`interp_idx` stay window-consistent.
+    """
+
+    xyz: List[jax.Array]          # [B, N_i, 3] sorted
+    neigh_idx: List[jax.Array]    # [B, N_i, k] into layer-i sorted rows
+    starts: List[Any]             # [B, N_i/128] per-gather-tile offsets or None
+    sub_idx: List[jax.Array]      # [B, N_{i+1}, k] pool indices (layer-i rows)
+    interp_idx: List[jax.Array]   # [B, N_i, 1] into layer-(i+1) sorted rows
+    order: jax.Array
+    inv: jax.Array
+    windows: Any = ()             # static per-layer gather window sizes
+
+
+jax.tree_util.register_pytree_node(
+    SortedPyramid,
+    lambda p: ((p.xyz, p.neigh_idx, p.starts, p.sub_idx, p.interp_idx,
+                p.order, p.inv), tuple(p.windows)),
+    lambda aux, c: SortedPyramid(*c, windows=aux),
 )
 
 
@@ -232,16 +310,105 @@ def _pyramid_window_single(xyz, cfg: Config):
     return Pyramid(xyzs, neighs, subs, interps)
 
 
+def _pyramid_window_sorted_single(xyz, cfg: Config):
+    """SortedPyramid for one cloud: ONE morton sort at full resolution; every
+    layer's order is its restriction (same key), so no further sorts. Layers
+    big enough for the window engine carry per-tile starts for the fused
+    gather kernel; smaller layers fall back to approx search + XLA gathers
+    (still in sorted space)."""
+    from ssdr_al_tpu.ops.knn import (
+        SortedCloud,
+        knn_approx,
+        knn_window_sorted_raw,
+        morton_codes,
+    )
+
+    GATHER_TQ = _GATHER_TQ
+    n0 = xyz.shape[0]
+    lo = jnp.min(xyz, axis=0)
+    hi = jnp.max(xyz, axis=0)
+    codes = morton_codes(xyz, lo, hi)
+    order = jnp.argsort(codes).astype(jnp.int32)       # sorted pos → orig idx
+    inv = jnp.zeros(n0, jnp.int32).at[order].set(
+        jnp.arange(n0, dtype=jnp.int32)
+    )
+    cur_x = xyz[order]
+    cur_c = codes[order]
+    cur_r = order                    # original-layer rank of each sorted row
+
+    xyzs, neighs, starts_l, subs, interps, windows = [], [], [], [], [], []
+    for i in range(cfg.num_layers):
+        n = cur_x.shape[0]
+        n_sub = n // cfg.sub_sampling_ratio[i]
+        use_window = n > 4096 and n % 256 == 0
+        if use_window:
+            w = 4096 if n > 16384 else 2048
+            sc = SortedCloud(cur_x, None, cur_c, n)
+            neigh, sts = knn_window_sorted_raw(
+                sc, sc, cfg.k_n, window=w, self_query=True
+            )
+            # search tiles are 256 queries; the gather kernel amortizes its
+            # per-tile fixed costs over GATHER_TQ-query tiles — a gather tile
+            # merges GATHER_TQ/256 consecutive search tiles, so its window
+            # widens by their start spread (self-query starts are monotone
+            # with step ≤ 256)
+            if n % GATHER_TQ == 0 and GATHER_TQ > 256:
+                sts = sts[:: GATHER_TQ // 256]
+                w_g = w + (GATHER_TQ - 256)
+                sts = jnp.minimum(sts, n - w_g)
+                w = w_g
+            elif GATHER_TQ < 256:
+                sts = jnp.repeat(sts, 256 // GATHER_TQ)
+        else:
+            neigh = knn_approx(cur_x, cur_x, cfg.k_n)
+            sts, w = None, 0
+        # kept subset = first n_sub points of the ORIGINAL order
+        # (s3dis_dataset.py:166-167); their sorted positions, increasing
+        kept_pos = jnp.sort(
+            jnp.where(cur_r < n_sub, jnp.arange(n, dtype=jnp.int32),
+                      jnp.int32(n))
+        )[:n_sub]
+        nxt_x = cur_x[kept_pos]
+        nxt_c = cur_c[kept_pos]
+        nxt_r = cur_r[kept_pos]
+        pool_i = neigh[kept_pos]
+        if n_sub > 2048 and n % 256 == 0 and n_sub % 128 == 0:
+            sc_sub = SortedCloud(nxt_x, None, nxt_c, n_sub)
+            sc_cur = SortedCloud(cur_x, None, cur_c, n)
+            up, _ = knn_window_sorted_raw(sc_sub, sc_cur, 1, window=1024)
+        else:
+            up = knn_approx(nxt_x, cur_x, 1)
+        xyzs.append(cur_x)
+        neighs.append(neigh)
+        starts_l.append(sts)
+        subs.append(pool_i)
+        interps.append(up)
+        windows.append(w)
+        cur_x, cur_c, cur_r = nxt_x, nxt_c, nxt_r
+    return SortedPyramid(xyzs, neighs, starts_l, subs, interps, order, inv,
+                         windows=tuple(windows))
+
+
 def build_pyramid(xyz, cfg: Config, *, engine: str = "window") -> Pyramid:
     """In-graph replacement for tf_map (s3dis_dataset.py:156-183).
 
     xyz: [B, N, 3], already randomly shuffled by the host sampler — prefix
     slicing therefore implements RandLA-Net's random downsampling, exactly as
     the reference slices the shuffled cloud (s3dis_dataset.py:166-167).
+
+    engine="window" on TPU builds a SortedPyramid (sorted-space fast path:
+    fused Pallas search + windowed MXU gathers, gathered values rounded to
+    bf16); engine="window_og" keeps the window search but original-order
+    indices + exact XLA gathers (parity/debug).
     """
-    if engine == "window":
+    if engine in ("window", "window_og"):
         if jax.default_backend() == "tpu":
+            if engine == "window":
+                return jax.vmap(
+                    lambda x: _pyramid_window_sorted_single(x, cfg)
+                )(xyz)
             return jax.vmap(lambda x: _pyramid_window_single(x, cfg))(xyz)
+        engine = "window"
         # non-TPU backends use the XLA window impl through the generic path
     xyzs, neighs, subs, interps = [], [], [], []
     cur = xyz
@@ -269,6 +436,13 @@ class RandLANet(nn.Module):
     def __call__(self, features, pyramid: Pyramid, train: bool = False):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
+        sorted_mode = isinstance(pyramid, SortedPyramid)
+        if sorted_mode:
+            # run the whole network in morton-sorted space; un-sort at the
+            # head (one N-row gather instead of 2·L·N·k-row unsorts)
+            features = jnp.take_along_axis(
+                features, pyramid.order[..., None], axis=1
+            )
         f = nn.Dense(8, kernel_init=_DENSE_INIT, dtype=dtype, name="fc0")(
             features.astype(dtype)
         )
@@ -281,9 +455,12 @@ class RandLANet(nn.Module):
         # encoder (RandLANet.py:150-157)
         f_encoder_list = []
         for i in range(cfg.num_layers):
+            starts = pyramid.starts[i] if sorted_mode else None
+            window = pyramid.windows[i] if sorted_mode else 0
             f_enc = DilatedResBlock(cfg.d_out[i], dtype=dtype,
                                     name=f"encoder_{i}")(
-                f, pyramid.xyz[i], pyramid.neigh_idx[i], train
+                f, pyramid.xyz[i], pyramid.neigh_idx[i], train,
+                starts, window,
             )
             f_sampled = random_sample(f_enc, pyramid.sub_idx[i])
             f = f_sampled
@@ -311,6 +488,13 @@ class RandLANet(nn.Module):
         logits = nn.Dense(
             cfg.num_classes, kernel_init=_CONV_INIT, name="fc"
         )(f.astype(jnp.float32))
+        if sorted_mode:
+            logits = jnp.take_along_axis(
+                logits, pyramid.inv[..., None], axis=1
+            )
+            penultimate = jnp.take_along_axis(
+                penultimate, pyramid.inv[..., None], axis=1
+            )
         return logits, penultimate
 
 

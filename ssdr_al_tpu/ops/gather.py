@@ -1,0 +1,163 @@
+"""Windowed neighbor-feature gather as a Pallas MXU kernel.
+
+XLA's general gather on this TPU platform costs ~12 ns per gathered ROW
+regardless of row width (measured: [6,40960·16] rows ≈ 48 ms whether C is 8,
+32 or 128 lanes, f32 or bf16) — it is the hot op of the RandLA-Net forward
+(the reference instead pays this cost on CPU inside tf_map + tf.batch_gather,
+SSDR_AL_s3dis/RandLANet.py:561-570).
+
+This kernel exploits the window invariant of the morton-sorted KNN engine
+(ops/knn.py): every neighbor index of a sorted query tile lies inside that
+tile's search window [start, start+W). The gather then becomes, per tile, a
+one-hot × value-slab matmul on the MXU with the slab VMEM-resident:
+
+    out[q, j, :] = onehot(idx[q,j] − start) @ values[start : start+W, :]
+
+Measured on the bench block (B=6, N=40960, k=16, W=4096): ~24 ms vs 48 ms
+for the XLA gather — and the cost is shared across all channels gathered in
+the same call, so callers should CONCATENATE everything they need per
+neighbor (xyz + features) into one call. The one-hot matmul runs in bf16
+(rounds gathered values to bfloat16, rel err ≤ 2⁻⁸ — fine for activations;
+exact-parity mode uses the XLA gather instead, engine="window_og").
+
+Backward: gather's VJP is a scatter-add of the cotangent into the value rows;
+implemented with XLA's scatter (correct everywhere, only training pays it).
+
+The batch dimension is part of the pallas grid (NOT vmap — vmapping a
+pallas_call with a whole-array operand re-materializes the output per batch
+element on the VMEM stack and OOMs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
+                   *, k, window, c, tq):
+    """One query tile: DMA the window slab HBM→VMEM, then per neighbor a
+    GROUP one-hot matmul + lane-block selection.
+
+    The slab is stored FOLDED as [W/8, 8·C] (8 consecutive points per row) so
+    (a) the HBM slice is lane-aligned for any C that's a multiple of 16, and
+    (b) the one-hot is built over W/8 group columns instead of W — 8× less
+    VPU work, which is what bounds the flat formulation. The matmul fetches
+    the whole 8-point group [TQ, 8C]; a cheap masked strided sum then picks
+    the right C-lane block. All refs stay 2-D (the batch dim is flattened
+    into rows by the wrapper — whole-array VMEM residency of batched values
+    both overflows VMEM and trips an XLA scoped-vmem placement bug)."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(start_ref[i], 128)
+    wg = window // 8
+    dma = pltpu.make_async_copy(
+        f_hbm.at[pl.ds(pl.multiple_of(start // 8, 16), wg), :], slab, sem
+    )
+    dma.start()
+    local = idx_ref[...] - start                                   # [TQ, k]
+    group = local // 8                                             # [TQ, k]
+    within = local - group * 8
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (tq, wg), 1)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, 8 * c), 1) // c
+    dma.wait()
+    s16 = slab[...].astype(jnp.bfloat16)                           # [W/8, 8C]
+    for j in range(k):
+        oh = (iota_g == group[:, j][:, None]).astype(jnp.bfloat16)
+        y = jnp.dot(oh, s16, preferred_element_type=jnp.float32)   # [TQ, 8C]
+        y = y * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
+        acc = y[:, 0:c]
+        for r in range(1, 8):
+            acc = acc + y[:, r * c:(r + 1) * c]
+        out_ref[:, j * c:(j + 1) * c] = acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_window(values, idx, starts, window: int, tq: int = 128):
+    """values [B, N, C]; idx [B, Nq, k] row indices with the guarantee
+    idx[b, t·tq:(t+1)·tq] ∈ [starts[b,t], starts[b,t]+window); starts
+    [B, Nq/tq] int32, 128-aligned. Returns [B, Nq, k, C] float32 (values
+    rounded to bf16).
+
+    N must be a multiple of 128, Nq a multiple of tq, and k·C a multiple
+    of 128 (pad C with pad_channels — pad channels ride for free)."""
+    return _gather_window_impl(values, idx, starts, window, tq)
+
+
+def _gather_window_impl(values, idx, starts, window, tq):
+    b, n, c = values.shape
+    _, nq, k = idx.shape
+    assert n % 128 == 0 and nq % tq == 0, (n, nq)
+    assert c % 16 == 0 and (k * c) % 128 == 0, (k, c)
+    tiles = nq // tq
+    # flatten the batch into rows; windows never cross batch boundaries
+    # because each start stays within its own batch's [b·n, (b+1)·n) range
+    values_f = values.reshape(b * n // 8, 8 * c)          # folded groups
+    row_off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    idx_f = (idx.reshape(b, nq * k) + row_off).reshape(b * nq, k)
+    starts_f = (starts + row_off).reshape(-1)
+    kernel = functools.partial(
+        _gather_kernel, k=k, window=window, c=c, tq=tq
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * tiles,),
+        in_specs=[
+            pl.BlockSpec((tq, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tq, k * c), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window // 8, 8 * c), values.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * nq, k * c), jnp.float32),
+    )(starts_f, idx_f, values_f)
+    return out.reshape(b, nq, k, c)
+
+
+def _gather_window_fwd(values, idx, starts, window, tq):
+    # zero-size token carries values' static shape+dtype into the bwd rule
+    token = jnp.zeros((0,) + values.shape, values.dtype)
+    return _gather_window_impl(values, idx, starts, window, tq), (token, idx)
+
+
+def _gather_window_bwd(window, tq, res, g):
+    token, idx = res
+    _, b, n, c = token.shape
+    # scatter-add the cotangent rows back into the value rows (XLA scatter;
+    # only the training path pays this)
+    flat = idx.reshape(b, -1)
+    g2 = g.reshape(b, -1, c)
+    dv = jax.vmap(
+        lambda i, gg: jnp.zeros((n, c), jnp.float32).at[i].add(gg)
+    )(flat, g2)
+    return dv.astype(token.dtype), None, None
+
+
+gather_window.defvjp(_gather_window_fwd, _gather_window_bwd)
+
+
+def pad_channels(x, multiple_of: int = 16, k: int = 16):
+    """Pad the channel axis so C is a multiple of 16 (folded-slab lane
+    alignment) and k·C a multiple of 128; returns (padded, original_c)."""
+    c = x.shape[-1]
+    target = _round_up(c, multiple_of)
+    while (k * target) % 128:
+        target += multiple_of
+    if target == c:
+        return x, c
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - c)]
+    return jnp.pad(x, pad), c

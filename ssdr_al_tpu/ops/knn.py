@@ -317,14 +317,17 @@ def sort_cloud(xyz, lo, hi, pad_to=128) -> "SortedCloud":
     return SortedCloud(xyz_sorted, order, codes[order], n)
 
 
-def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
-                      query_chunk=256, window=2048, self_query=False):
-    """Window KNN between pre-sorted clouds; indices returned in the ORIGINAL
-    support order, rows in the ORIGINAL query order.
+def knn_window_sorted_raw(sup: "SortedCloud", qry: "SortedCloud", k, *,
+                          query_chunk=256, window=2048, self_query=False):
+    """Window KNN between pre-sorted clouds, STAYING in sorted space.
 
-    self_query=True (support IS the query cloud): each query's morton rank is
-    its own position, so the per-tile window starts are static — no
-    searchsorted / median reduction at all."""
+    Returns (idx, starts): idx [nq, k] indexes the support's SORTED rows
+    (rows in the query's SORTED order), starts [nq_pad/query_chunk] are the
+    128-aligned per-tile window offsets — together they carry the invariant
+    idx[tile t] ∈ [starts[t], starts[t]+window) that ops.gather.gather_window
+    relies on. The sorted-space model path (models.randlanet) consumes these
+    directly, skipping the two O(nq·k)-row unsort gathers that cost ~36 ms
+    per 40960-pt layer on this platform."""
     ns, nq = sup.n_real, qry.n_real
     nq_pad = _round_up(nq, query_chunk)
     q_sorted = jnp.concatenate(
@@ -354,7 +357,26 @@ def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
         sup.xyz_sorted, q_sorted, starts, k, query_chunk, window
     )
     out_sorted = jnp.repeat(starts, query_chunk)[:, None] + rel
-    out = sup.order[jnp.clip(out_sorted, 0, ns - 1)]
+    # sentinel picks (only possible when the last window overhangs the pad
+    # rows) clamp to the last real row, which stays inside that window
+    out_sorted = jnp.minimum(out_sorted, ns - 1)
+    return out_sorted[:nq], starts
+
+
+def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
+                      query_chunk=256, window=2048, self_query=False):
+    """Window KNN between pre-sorted clouds; indices returned in the ORIGINAL
+    support order, rows in the ORIGINAL query order.
+
+    self_query=True (support IS the query cloud): each query's morton rank is
+    its own position, so the per-tile window starts are static — no
+    searchsorted / median reduction at all."""
+    nq = qry.n_real
+    out_sorted, _ = knn_window_sorted_raw(
+        sup, qry, k, query_chunk=query_chunk, window=window,
+        self_query=self_query,
+    )
+    out = sup.order[out_sorted]
     inv = jnp.zeros(nq, jnp.int32).at[qry.order].set(
         jnp.arange(nq, dtype=jnp.int32)
     )

@@ -7,8 +7,13 @@ TPU path is exercised by bench.py / __graft_entry__.py.
 
 import os
 
+# SSDR_TEST_TPU=1 runs the suite on the real TPU instead (validates the
+# Pallas kernels + sorted fast path; most tests still pass, slower).
+_USE_TPU = os.environ.get("SSDR_TEST_TPU", "") == "1"
+
 # Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +25,8 @@ import jax  # noqa: E402
 # The axon TPU plugin (loaded by sitecustomize on this image) forces
 # jax_platforms="axon,cpu" at interpreter startup, overriding the env var —
 # force it back so the suite runs on the virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: model/kernel compiles dominate test wall-clock
 # on this host; cache them across runs.

@@ -1,5 +1,7 @@
 """KNN kernels vs numpy brute-force oracle (SURVEY.md §4 test strategy)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -123,3 +125,81 @@ def test_layer_shapes_smoke(rng, n, k):
     idx = np.asarray(knn_xla(pts, pts, k))
     assert idx.shape == (1, n, k)
     assert (idx >= 0).all() and (idx < n).all()
+
+
+class TestSortedFastPath:
+    """TPU-only: the sorted-space pyramid + windowed MXU gather fast path."""
+
+    @pytest.fixture(autouse=True)
+    def _tpu_only(self):
+        if jax.default_backend() != "tpu":
+            pytest.skip("sorted fast path runs on TPU only")
+
+    def test_gather_window_matches_xla_gather(self, rng):
+        from ssdr_al_tpu.ops.gather import gather_window
+
+        N, k, W, TQ, B, C = 2048, 16, 1024, 128, 2, 16
+        pos = np.arange(N)
+        starts = np.clip(((pos[::TQ]) // 128) * 128 - W // 2, 0, N - W)
+        starts = ((starts // 128) * 128).astype(np.int32)
+        idx = np.zeros((N, k), np.int32)
+        for t in range(N // TQ):
+            idx[t * TQ:(t + 1) * TQ] = rng.randint(
+                starts[t], starts[t] + W, (TQ, k))
+        f = rng.rand(B, N, C).astype(np.float32)
+        out = np.asarray(gather_window(
+            jnp.asarray(f), jnp.asarray(np.broadcast_to(idx, (B, N, k))).copy(),
+            jnp.asarray(np.broadcast_to(starts, (B, len(starts)))).copy(),
+            W, TQ,
+        ))
+        for b in range(B):
+            # values round to bf16 inside the kernel
+            np.testing.assert_allclose(out[b], f[b][idx], rtol=1e-2, atol=1e-3)
+
+    def test_sorted_model_matches_original_order(self, rng):
+        """Same search windows → same neighbor sets; logits differ only by
+        bf16 gather rounding (VERDICT r1 #7: a loud gate for the fast path)."""
+        import dataclasses
+
+        from ssdr_al_tpu.config import ConfigS3DIS
+        from ssdr_al_tpu.models.randlanet import RandLANet, build_pyramid
+
+        cfg = ConfigS3DIS
+        model = RandLANet(cfg)
+        B = 2
+        xyz = (rng.rand(B, cfg.num_points, 3) * 10).astype(np.float32)
+        feats = np.concatenate(
+            [xyz, rng.rand(B, cfg.num_points, 3).astype(np.float32)], -1)
+        xd, fd = jnp.asarray(xyz), jnp.asarray(feats)
+
+        @jax.jit
+        def init(key, x, f):
+            return model.init({"params": key}, f,
+                              build_pyramid(x, cfg, engine="window_og"), False)
+
+        v = init(jax.random.PRNGKey(0), xd, fd)
+        # randomize params so activations are O(1), keep BN var positive
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        key = jax.random.PRNGKey(42)
+        new = []
+        for leaf in leaves:
+            key, k2 = jax.random.split(key)
+            new.append(jax.random.normal(k2, leaf.shape, leaf.dtype) * 0.3)
+        v2 = jax.tree_util.tree_unflatten(treedef, new)
+        v2 = jax.tree_util.tree_map_with_path(
+            lambda pth, x: jnp.abs(x) + 0.5
+            if any(getattr(q, "key", "") == "var" for q in pth) else x, v2)
+
+        og = jax.jit(lambda x, f: model.apply(
+            v2, f, build_pyramid(x, cfg, engine="window_og"), False))
+        fast = jax.jit(lambda x, f: model.apply(
+            v2, f, build_pyramid(x, cfg, engine="window"), False))
+        lo, _ = og(xd, fd)
+        lf, _ = fast(xd, fd)
+        lo, lf = np.asarray(lo), np.asarray(lf)
+        scale = np.abs(lo).max()
+        assert scale > 1.0  # the comparison is not vacuous
+        rel = np.abs(lo - lf).max() / scale
+        assert rel < 0.05, f"fast path diverged: rel diff {rel}"
+        agree = (lo.argmax(-1) == lf.argmax(-1)).mean()
+        assert agree > 0.97, f"pred agreement {agree}"
