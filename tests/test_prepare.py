@@ -155,3 +155,153 @@ class TestProviderH5:
         np.testing.assert_array_equal(in_comp2, in_comp)
         for c1, c2 in zip(comps, comps2):
             np.testing.assert_array_equal(c1, c2)
+
+
+class TestProviderReaders:
+    """Raw-format readers + full-res upsampling (reference provider.py
+    185-372, 593-651) on synthetic files."""
+
+    def test_read_s3dis_format(self, rng, tmp_path):
+        from ssdr_al_tpu.partition.provider import read_s3dis_format
+
+        room = tmp_path / "office_1"
+        anno = room / "Annotations"
+        os.makedirs(anno)
+        pts_a = np.hstack([rng.rand(40, 3), rng.randint(0, 255, (40, 3))])
+        pts_b = np.hstack([rng.rand(30, 3) + 2, rng.randint(0, 255, (30, 3))])
+        np.savetxt(anno / "chair_1.txt", pts_a, fmt="%.4f")
+        np.savetxt(anno / "wall_2.txt", pts_b, fmt="%.4f")
+        np.savetxt(room / "office_1.txt", np.vstack([pts_a, pts_b]), fmt="%.4f")
+
+        xyz, rgb, labels, obj_idx = read_s3dis_format(str(room / "office_1.txt"))
+        assert xyz.shape == (70, 3) and rgb.dtype == np.uint8
+        np.testing.assert_array_equal(labels[:40], 9)   # chair
+        np.testing.assert_array_equal(labels[40:], 3)   # wall
+        assert set(np.unique(obj_idx)) == {1, 2}
+
+    def test_read_vkitti_format(self, rng, tmp_path):
+        from ssdr_al_tpu.partition.provider import read_vkitti_format
+
+        data = np.hstack([rng.rand(50, 6), rng.randint(0, 14, (50, 1))])
+        data[0, -1] = 13  # becomes 14 -> remapped to 0
+        path = tmp_path / "scene.npy"
+        np.save(path, data)
+        xyz, rgb, labels = read_vkitti_format(str(path))
+        assert labels[0] == 0
+        expected = data[:, -1] + 1
+        expected[expected == 14] = 0
+        np.testing.assert_array_equal(labels, expected)
+
+    def test_read_semantic3d_format_chunked(self, rng, tmp_path):
+        from ssdr_al_tpu.partition.provider import read_semantic3d_format
+
+        n, n_class = 500, 4
+        pts = np.hstack([
+            rng.rand(n, 3) * 3,                         # xyz
+            rng.rand(n, 1),                             # intensity
+            rng.randint(0, 255, (n, 3)),                # rgb
+        ])
+        labels = rng.randint(0, n_class + 1, n)
+        np.savetxt(tmp_path / "scan.txt", pts, fmt="%.4f")
+        np.savetxt(tmp_path / "scan.labels", labels, fmt="%d")
+
+        xyz, rgb, hist = read_semantic3d_format(
+            str(tmp_path / "scan.txt"), n_class,
+            str(tmp_path / "scan.labels"), voxel_width=0.5, ver_batch=200,
+        )
+        assert xyz.shape[1] == 3 and rgb.dtype == np.uint8
+        assert hist.shape[1] == n_class + 1
+        # chunked histograms account for every input point
+        assert hist.sum() == n
+        # unlabeled path (test scans)
+        xyz2, rgb2 = read_semantic3d_format(
+            str(tmp_path / "scan.txt"), 0, "", voxel_width=0.5, ver_batch=200)
+        assert len(xyz2) == len(xyz)
+
+    def test_prune_voxel_histogram(self, rng):
+        from ssdr_al_tpu.partition.provider import prune_voxel
+
+        xyz = np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [5, 5, 5]])
+        rgb = np.array([[10, 0, 0], [30, 0, 0], [200, 100, 50]])
+        labels = np.array([1, 2, 1])
+        sub_xyz, sub_rgb, hist = prune_voxel(xyz, 1.0, rgb, labels, n_class=3)
+        assert len(sub_xyz) == 2
+        # first voxel: barycenter + label counts {1:1, 2:1}
+        np.testing.assert_allclose(sub_xyz[0], [0.15, 0.15, 0.15], atol=1e-6)
+        assert sub_rgb[0][0] == 20
+        np.testing.assert_array_equal(hist[0], [0, 1, 1, 0])
+        np.testing.assert_array_equal(hist[1], [0, 1, 0, 0])
+
+    def test_reduced_labels2full_and_interpolate(self, rng, tmp_path):
+        from ssdr_al_tpu.partition.provider import (
+            interpolate_labels,
+            interpolate_labels_batch,
+            reduced_labels2full,
+        )
+
+        comps = [np.array([0, 2, 4]), np.array([1, 3])]
+        full = reduced_labels2full(np.array([7, 9]), comps, 5)
+        np.testing.assert_array_equal(full, [7, 9, 7, 9, 7])
+
+        xyz = rng.rand(40, 3).astype(np.float32)
+        labels = rng.randint(0, 5, 40)
+        up = xyz[rng.randint(0, 40, 100)] + rng.randn(100, 3) * 1e-4
+        got = interpolate_labels(up, xyz, labels)
+        # every upsampled point is ~on top of its source point
+        from scipy.spatial import cKDTree
+
+        _, nn = cKDTree(xyz).query(up, k=1)
+        np.testing.assert_array_equal(got, labels[nn])
+        # chunked variant
+        got_b = interpolate_labels(up, xyz, labels, ver_batch=30)
+        np.testing.assert_array_equal(got_b, got)
+        # one-hot labels take argmax first
+        onehot = np.eye(5)[labels]
+        got_oh = interpolate_labels(up, xyz, onehot)
+        np.testing.assert_array_equal(got_oh, got)
+        # file-batched variant
+        raw = np.hstack([up, np.zeros((100, 4))])
+        np.savetxt(tmp_path / "raw.txt", raw, fmt="%.6f")
+        got_f = interpolate_labels_batch(str(tmp_path / "raw.txt"), xyz,
+                                         labels, ver_batch=40)
+        np.testing.assert_array_equal(got_f, got.astype(np.uint8))
+
+
+class TestProviderExporters:
+    def test_geof_prediction_error_embedding_plys(self, rng, tmp_path):
+        from ssdr_al_tpu.data.ply import read_ply
+        from ssdr_al_tpu.partition.provider import (
+            embedding2ply,
+            error2ply,
+            geof2ply,
+            prediction2ply,
+        )
+
+        n = 60
+        xyz = rng.rand(n, 3).astype(np.float32)
+        geof = rng.rand(n, 4).astype(np.float32)
+        geof2ply(str(tmp_path / "g.ply"), xyz, geof)
+        g = read_ply(str(tmp_path / "g.ply"))
+        np.testing.assert_array_equal(
+            g["red"], (255 * geof[:, 0]).astype(np.uint8))
+
+        pred = rng.randint(0, 14, n)
+        prediction2ply(str(tmp_path / "p.ply"), xyz, pred, 13, "s3dis")
+        p = read_ply(str(tmp_path / "p.ply"))
+        from ssdr_al_tpu.partition.provider import get_color_from_label
+
+        assert p["red"][0] == get_color_from_label(pred[0], "s3dis")[0]
+        # probability input takes argmax
+        probs = np.eye(14)[pred]
+        prediction2ply(str(tmp_path / "p2.ply"), xyz, probs, 13, "s3dis")
+        p2 = read_ply(str(tmp_path / "p2.ply"))
+        np.testing.assert_array_equal(p2["red"], p["red"])
+
+        rgb = rng.randint(0, 255, (n, 3)).astype(np.uint8)
+        labels = rng.randint(0, 4, n)
+        error2ply(str(tmp_path / "e.ply"), xyz, rgb, labels, pred % 4)
+        assert read_ply(str(tmp_path / "e.ply"))["green"].shape == (n,)
+
+        emb = rng.randn(n, 32).astype(np.float32)
+        embedding2ply(str(tmp_path / "emb.ply"), xyz, emb)
+        assert read_ply(str(tmp_path / "emb.ply"))["blue"].shape == (n,)
