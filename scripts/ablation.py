@@ -1,0 +1,215 @@
+"""Sampler-ablation benchmark: does the SSDR method beat random selection?
+
+The reference's core claim is that uncertainty + class-balance + diversity
+reasoning (sb + clsbal + WetSU + gcn_fps + NAIL) reaches higher mIoU than
+random region selection at the SAME click budget (ssdr_main_S3DIS2.py:138-152
+protocol, run_sota_comparison.sh sweeps). This script reproduces that
+comparison on HARD synthetic scenes (8 classes, confusable geometry, rare
+classes, boundary label noise — data/synthetic.py:make_room_hard), where
+random selection does not saturate.
+
+    PYTHONPATH=/root/.axon_site:. python scripts/ablation.py \
+        --rounds 6 --clicks 40 --out ABLATION.md
+
+Writes one JSON line per (sampler, round) to stdout and a markdown summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+
+def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
+               seed_percent, rounds, clicks, log):
+    import jax
+
+    from ssdr_al_tpu.active.samplers import (
+        RandomSampler,
+        SeedSampler,
+        TSampler,
+        TSamplerArgs,
+    )
+    from ssdr_al_tpu.active.state import ALState, RoundStats
+    from ssdr_al_tpu.data.dataset import TrainingPipeline
+    from ssdr_al_tpu.train.evaluator import Evaluator
+    from ssdr_al_tpu.train.trainer import Trainer, make_train_step
+
+    state = ALState(workdir, [tag])
+    seed_state = ALState(workdir, ["seed"])
+
+    trainer = Trainer(
+        cfg, "S3DIS",
+        save_dir=os.path.join(workdir, "saver", tag, "snapshots"),
+        seed_save_dir=os.path.join(workdir, "saver", "seed", "snapshots"),
+        log_fn=lambda *_: None,
+    )
+    trainer.weights = np.ones(cfg.num_classes, np.float32)
+    trainer.train_step = make_train_step(trainer.model, cfg, trainer.weights)
+    evaluate = Evaluator(cfg, val, max_epochs=6)
+
+    # ---- seed round (shared labeling, per-config training for fairness of
+    # the trainer state path; the seed SELECTION is identical across configs
+    # because SeedSampler is seeded identically) ----
+    if not os.path.exists(os.path.join(
+            workdir, "saver", "seed", "snapshots", "snap-1")):
+        seeder = SeedSampler(seed_state, train, total_sp, seed=0)
+        seeder.sampling(max(1, int(total_sp * seed_percent)), 0, RoundStats())
+        round_dir = seed_state.round_dir(1)
+        pseudo = {c.name: seed_state.load_pseudo_gt(round_dir, c.name)
+                  for c in train}
+        pipe = TrainingPipeline(train, cfg, pseudo_gt=pseudo, seed=1)
+        seed_trainer = Trainer(
+            cfg, "S3DIS",
+            save_dir=os.path.join(workdir, "saver", "seed", "snapshots"),
+            log_fn=lambda *_: None,
+        )
+        seed_trainer.weights = trainer.weights
+        seed_trainer.train_step = trainer.train_step
+        seed_trainer.init_state(pipe.sample_batch(cfg.batch_size))
+        miou, oa = seed_trainer.train_round(
+            1, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
+            evaluate,
+        )
+        log({"sampler": "seed", "round": 1, "miou": round(miou, 4),
+             "oa": round(oa, 4)})
+
+    # ---- sampler ----
+    if sampler_kind == "random":
+        sampler = RandomSampler(state, train, total_sp, min_size=1,
+                                oracle_mode="dominant", seed=0)
+    else:
+        sampler = TSampler(state, train, cfg, sampler_kind, total_sp, seed=0)
+
+    trainer.init_state(
+        TrainingPipeline(train, cfg, seed=2).sample_batch(cfg.batch_size)
+    )
+
+    curve = []
+    for r in range(2, rounds + 1):
+        trainer.restore_model(r - 1)
+        stats = RoundStats()
+        t0 = time.time()
+        if sampler_kind == "random":
+            sampler.sampling(clicks, r - 1, stats)
+        else:
+            sampler.sampling(trainer.eval_step, trainer.state, clicks,
+                             r - 1, stats)
+        sel_t = time.time() - t0
+
+        round_dir = state.round_dir(r)
+        pseudo = {c.name: state.load_pseudo_gt(round_dir, c.name)
+                  for c in train}
+        pipe = TrainingPipeline(train, cfg, pseudo_gt=pseudo, seed=100 + r)
+        t0 = time.time()
+        miou, oa = trainer.train_round(
+            r, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
+            evaluate,
+        )
+        rec = {"sampler": tag, "round": r, "miou": round(miou, 4),
+               "oa": round(oa, 4), "labeled_sp": stats.sp_num,
+               "labeled_pts": stats.p_num + stats.sub_p_num,
+               "sel_s": round(sel_t, 1), "train_s": round(time.time() - t0, 1)}
+        log(rec)
+        curve.append(rec)
+    return curve
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ssdr_al_tpu.active.samplers import TSamplerArgs
+    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.data.synthetic import (
+        NUM_SYNTH_CLASSES_HARD,
+        make_dataset,
+    )
+    from ssdr_al_tpu.partition.superpoint import compute_superpoints
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--rounds", type=int, default=6)
+    p.add_argument("--clicks", type=int, default=40)
+    p.add_argument("--rooms", type=int, default=4)
+    p.add_argument("--points", type=int, default=20000)
+    p.add_argument("--seed_percent", type=float, default=0.01)
+    p.add_argument("--reg_strength", type=float, default=0.03)
+    p.add_argument("--out", default="ABLATION.md")
+    p.add_argument("--workdir", default="")
+    args = p.parse_args()
+
+    cfg = dataclasses.replace(
+        ConfigS3DIS,
+        num_points=4096, num_classes=NUM_SYNTH_CLASSES_HARD,
+        batch_size=4, val_batch_size=4, train_steps=30, val_steps=10,
+        max_epoch=3, eval_start_frac=0.5,
+    )
+    work = args.workdir or tempfile.mkdtemp(prefix="ablation_")
+    os.makedirs(work, exist_ok=True)
+
+    def log(rec):
+        print(json.dumps(rec), flush=True)
+
+    try:
+        train, val = make_dataset(num_train=args.rooms, num_val=1,
+                                  num_points=args.points, hard=True)
+        from ssdr_al_tpu.active.state import ALState
+
+        state = ALState(work, ["partition"])
+        total = compute_superpoints(train, state, args.reg_strength,
+                                    log=lambda *a: None)
+        total_sp = total["sp_num"]
+        log({"event": "setup", "total_sp": total_sp,
+             "clicks_per_round": args.clicks, "rounds": args.rounds})
+
+        configs = [
+            ("random", "random"),
+            ("sb_mean", TSamplerArgs(
+                point_uncertainty_mode="sb", uncertainty_mode="mean",
+                oracle_mode="dominant", class_balance="", diversity="")),
+            ("ssdr_full", TSamplerArgs(
+                point_uncertainty_mode="sb", uncertainty_mode="WetSU",
+                oracle_mode="NAIL", class_balance="clsbal",
+                diversity="gcn_fps")),
+        ]
+        curves = {}
+        for tag, kind in configs:
+            curves[tag] = run_config(
+                tag, kind, work, train, val, cfg, total_sp,
+                args.seed_percent, args.rounds, args.clicks, log,
+            )
+
+        # markdown summary
+        lines = [
+            "# Sampler ablation (hard synthetic scenes)", "",
+            f"{args.rooms} rooms x {args.points} pts, "
+            f"{NUM_SYNTH_CLASSES_HARD} classes, {total_sp} superpoints, "
+            f"seed {args.seed_percent:.0%}, {args.clicks} clicks/round.", "",
+            "| round | " + " | ".join(t for t, _ in configs) + " |",
+            "|---| " + " | ".join("---" for _ in configs) + " |",
+        ]
+        for i in range(args.rounds - 1):
+            row = [str(curves[t][i]["round"]) for t, _ in configs][:1]
+            row += [f"{curves[t][i]['miou']:.4f}" for t, _ in configs]
+            lines.append("| " + " | ".join(row) + " |")
+        final = {t: curves[t][-1]["miou"] for t, _ in configs}
+        lines += ["",
+                  f"Final-round mIoU: {json.dumps(final)}", ""]
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        log({"event": "done", "final_miou": final, "out": args.out})
+    finally:
+        if not args.workdir:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

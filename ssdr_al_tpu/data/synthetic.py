@@ -17,6 +17,14 @@ from ssdr_al_tpu.data.cloud import Cloud
 # class ids: 0 floor, 1 ceiling, 2 wall, 3 box, 4 clutter
 NUM_SYNTH_CLASSES = 5
 
+# hard mode (sampler-ablation benchmark): adds geometrically-confusable and
+# rare classes — 5 chair (small box, same shape family as 3), 6 pillar
+# (vertical box, wall-like), 7 board (thin wall-mounted box, co-located with
+# walls) — plus near-identical colors for confusable pairs and boundary
+# label noise. Random selection saturates much later here, exposing the
+# value of uncertainty/diversity reasoning.
+NUM_SYNTH_CLASSES_HARD = 8
+
 
 def _plane(rng, n, extent, z, cls, jitter=0.02):
     xy = rng.rand(n, 2) * extent
@@ -76,15 +84,88 @@ def make_room(rng: np.random.RandomState, name: str, *, num_points=20000,
                  labels=labels[perm])
 
 
-def make_dataset(num_train=4, num_val=1, num_points=20000, seed=0
-                 ) -> tuple[List[Cloud], List[Cloud]]:
+def _blob(rng, n, center, scale, cls):
+    pts = rng.randn(n, 3) * np.asarray(scale)[None, :] + np.asarray(center)[None, :]
+    return pts, np.full(n, cls)
+
+
+def make_room_hard(rng: np.random.RandomState, name: str, *,
+                   num_points=20000, extent=6.0, height=3.0,
+                   label_noise=0.03) -> Cloud:
+    """Harder scene for the sampler ablation: 8 classes with overlapping
+    geometry (chair vs furniture-box, pillar vs wall, board ON wall),
+    imbalanced rare classes, confusable colors, and boundary label noise."""
+    parts = []
+    n_plane = num_points // 5
+    parts.append(_plane(rng, n_plane, extent, 0.0, 0))
+    parts.append(_plane(rng, n_plane, extent, height, 1))
+    n_wall = num_points // 10
+    parts.append(_wall(rng, n_wall, extent, height, 1, 0.0, 2))
+    parts.append(_wall(rng, n_wall, extent, height, 1, extent, 2))
+    parts.append(_wall(rng, n_wall, extent, height, 0, 0.0, 2))
+
+    remaining = num_points - 2 * n_plane - 3 * n_wall
+    # furniture boxes (3) vs chairs (5): same shape family, different size
+    n_box = remaining // 4
+    for _ in range(3):
+        c = [rng.rand() * extent, rng.rand() * extent, rng.rand() * 0.8 + 0.5]
+        parts.append(_box(rng, n_box // 3, c, rng.rand(3) * 0.8 + 0.6, 3))
+    n_chair = remaining // 6
+    for _ in range(4):
+        c = [rng.rand() * extent, rng.rand() * extent, rng.rand() * 0.3 + 0.25]
+        parts.append(_box(rng, n_chair // 4, c, rng.rand(3) * 0.3 + 0.25, 5))
+    # clutter blobs intersecting furniture (4)
+    n_clut = remaining // 6
+    for _ in range(5):
+        c = [rng.rand() * extent, rng.rand() * extent, rng.rand() * 0.6 + 0.2]
+        parts.append(_blob(rng, n_clut // 5, c, [0.25, 0.25, 0.15], 4))
+    # pillars (6): tall thin boxes — wall-like verticals
+    n_pil = remaining // 8
+    for _ in range(2):
+        c = [rng.rand() * extent, rng.rand() * extent, height / 2]
+        parts.append(_box(rng, n_pil // 2, c, [0.3, 0.3, height], 6))
+    # boards (7): thin boxes ON the walls (rare class, co-located with 2)
+    n_board = max(20, remaining // 16)
+    for _ in range(2):
+        c = [rng.rand() * extent, 0.04, rng.rand() * 1.0 + 1.0]
+        parts.append(_box(rng, n_board // 2, c, [1.0, 0.06, 0.7], 7))
+
+    xyz = np.vstack([p for p, _ in parts]).astype(np.float32)
+    labels = np.concatenate([l for _, l in parts]).astype(np.int32)
+
+    # palette: confusable pairs get near-identical colors (3≈5, 2≈6≈7)
+    base = np.random.RandomState(1234).rand(NUM_SYNTH_CLASSES_HARD, 3) * 0.8 + 0.1
+    base[5] = base[3] + 0.04
+    base[6] = base[2] + 0.03
+    base[7] = base[2] - 0.03
+    colors = base[labels] + rng.randn(len(labels), 3) * 0.12
+    colors = np.clip(colors, 0, 1).astype(np.float32)
+
+    # boundary label noise: flip a fraction of labels to a NEIGHBOR's class
+    # (annotation noise concentrates at class boundaries in real data)
+    if label_noise > 0:
+        n_noise = int(len(labels) * label_noise)
+        pick = rng.choice(len(labels), n_noise, replace=False)
+        d2 = np.sum((xyz[pick, None, :] -
+                     xyz[None, rng.choice(len(xyz), 256), :]) ** 2, axis=-1)
+        donor = rng.choice(len(xyz), 256)
+        labels[pick] = labels[donor[np.argmin(d2, axis=1)]]
+
+    perm = rng.permutation(len(xyz))
+    return Cloud(name=name, xyz=xyz[perm], colors=colors[perm],
+                 labels=labels[perm])
+
+
+def make_dataset(num_train=4, num_val=1, num_points=20000, seed=0,
+                 hard=False) -> tuple[List[Cloud], List[Cloud]]:
     rng = np.random.RandomState(seed)
+    room = make_room_hard if hard else make_room
     train = [
-        make_room(rng, f"Room_train_{i}", num_points=num_points)
+        room(rng, f"Room_train_{i}", num_points=num_points)
         for i in range(num_train)
     ]
     val = [
-        make_room(rng, f"Room_val_{i}", num_points=num_points)
+        room(rng, f"Room_val_{i}", num_points=num_points)
         for i in range(num_val)
     ]
     return train, val
