@@ -290,7 +290,9 @@ def _pyramid_window_single(xyz, cfg: Config):
                 self_query=True,
             )
         else:
-            neigh = knn_approx(cur, cur, cfg.k_n)
+            from ssdr_al_tpu.ops.knn import knn_xla as _knn_xla
+
+            neigh = _knn_xla(cur, cur, cfg.k_n)
         sub_points = cur[:n_sub]
         pool_i = neigh[:n_sub]
         if n_sub > 2048:
@@ -299,8 +301,10 @@ def _pyramid_window_single(xyz, cfg: Config):
                 sorted_cur = sort_cloud(cur, lo, hi)
             up_i = knn_window_sorted(sorted_sub, sorted_cur, 1, window=1024)
         else:
+            from ssdr_al_tpu.ops.knn import knn_xla as _knn_xla
+
             sorted_sub = None
-            up_i = knn_approx(sub_points, cur, 1)
+            up_i = _knn_xla(sub_points, cur, 1)
         xyzs.append(cur)
         neighs.append(neigh)
         subs.append(pool_i)
@@ -318,8 +322,9 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
     (still in sorted space)."""
     from ssdr_al_tpu.ops.knn import (
         SortedCloud,
-        knn_approx,
+        _run_window_pallas,
         knn_window_sorted_raw,
+        knn_xla,
         morton_codes,
     )
 
@@ -360,24 +365,35 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
             elif GATHER_TQ < 256:
                 sts = jnp.repeat(sts, 256 // GATHER_TQ)
         else:
-            neigh = knn_approx(cur_x, cur_x, cfg.k_n)
+            # exact XLA knn: approx_min_k is pathologically slow at these
+            # sizes on this platform (n=2560 self-search: 23.5 vs 6.3 ms)
+            neigh = knn_xla(cur_x, cur_x, cfg.k_n)
             sts, w = None, 0
         # kept subset = first n_sub points of the ORIGINAL order
         # (s3dis_dataset.py:166-167); their sorted positions, increasing
+        kept = cur_r < n_sub
         kept_pos = jnp.sort(
-            jnp.where(cur_r < n_sub, jnp.arange(n, dtype=jnp.int32),
-                      jnp.int32(n))
+            jnp.where(kept, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
         )[:n_sub]
         nxt_x = cur_x[kept_pos]
         nxt_c = cur_c[kept_pos]
         nxt_r = cur_r[kept_pos]
         pool_i = neigh[kept_pos]
         if n_sub > 2048 and n % 256 == 0 and n_sub % 128 == 0:
-            sc_sub = SortedCloud(nxt_x, None, nxt_c, n_sub)
-            sc_cur = SortedCloud(cur_x, None, cur_c, n)
-            up, _ = knn_window_sorted_raw(sc_sub, sc_cur, 1, window=1024)
+            # 1-NN upsample search. The support is the KEPT SUBSET of these
+            # very rows, so each query's rank in the sub cloud is an exact
+            # cumsum — no searchsorted/median pass (saves ~20 ms/forward)
+            up_w = 1024
+            ranks = jnp.cumsum(kept.astype(jnp.int32)) - 1        # [n]
+            centers = jnp.arange(n // 256, dtype=jnp.int32) * 256 + 128
+            starts_up = jnp.clip(ranks[centers] - up_w // 2, 0, n_sub - up_w)
+            starts_up = (starts_up // 128) * 128
+            rel = _run_window_pallas(nxt_x, cur_x, starts_up, 1, 256, up_w)
+            up = jnp.minimum(
+                jnp.repeat(starts_up, 256)[:, None] + rel, n_sub - 1
+            )
         else:
-            up = knn_approx(nxt_x, cur_x, 1)
+            up = knn_xla(nxt_x, cur_x, 1)
         xyzs.append(cur_x)
         neighs.append(neigh)
         starts_l.append(sts)
