@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
-               seed_percent, rounds, clicks, log):
+               seed_percent, rounds, clicks, log, t=0):
     import jax
 
     from ssdr_al_tpu.active.samplers import (
@@ -42,12 +42,12 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
     from ssdr_al_tpu.train.evaluator import Evaluator
     from ssdr_al_tpu.train.trainer import Trainer, make_train_step
 
-    state = ALState(workdir, [tag])
+    state = ALState(workdir, [tag, f"t{t}"])
     seed_state = ALState(workdir, ["seed"])
 
     trainer = Trainer(
         cfg, "S3DIS",
-        save_dir=os.path.join(workdir, "saver", tag, "snapshots"),
+        save_dir=os.path.join(workdir, "saver", f"{tag}_t{t}", "snapshots"),
         seed_save_dir=os.path.join(workdir, "saver", "seed", "snapshots"),
         log_fn=lambda *_: None,
     )
@@ -84,9 +84,9 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
     # ---- sampler ----
     if sampler_kind == "random":
         sampler = RandomSampler(state, train, total_sp, min_size=1,
-                                oracle_mode="dominant", seed=0)
+                                oracle_mode="dominant", seed=t)
     else:
-        sampler = TSampler(state, train, cfg, sampler_kind, total_sp, seed=0)
+        sampler = TSampler(state, train, cfg, sampler_kind, total_sp, seed=t)
 
     trainer.init_state(
         TrainingPipeline(train, cfg, seed=2).sample_batch(cfg.batch_size)
@@ -107,7 +107,8 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
         round_dir = state.round_dir(r)
         pseudo = {c.name: state.load_pseudo_gt(round_dir, c.name)
                   for c in train}
-        pipe = TrainingPipeline(train, cfg, pseudo_gt=pseudo, seed=100 + r)
+        pipe = TrainingPipeline(train, cfg, pseudo_gt=pseudo,
+                                seed=1000 * t + 100 + r)
         t0 = time.time()
         miou, oa = trainer.train_round(
             r, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
@@ -144,6 +145,8 @@ def main():
     p.add_argument("--reg_strength", type=float, default=0.03)
     p.add_argument("--out", default="ABLATION.md")
     p.add_argument("--workdir", default="")
+    p.add_argument("--t", type=int, default=0,
+                   help="trial seed: varies sampler + training-pipeline RNG")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
@@ -184,7 +187,7 @@ def main():
         for tag, kind in configs:
             curves[tag] = run_config(
                 tag, kind, work, train, val, cfg, total_sp,
-                args.seed_percent, args.rounds, args.clicks, log,
+                args.seed_percent, args.rounds, args.clicks, log, t=args.t,
             )
 
         # markdown summary
