@@ -49,6 +49,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="override cfg.train_steps (0 = dataset default)")
     p.add_argument("--knn_engine", type=str, default="window",
                    choices=["window", "window_og", "approx", "xla", "pallas"])
+    p.add_argument("--compute_dtype", type=str, default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="activation dtype ('' = config default float32; "
+                        "bfloat16 recommended on TPU — measured 0.9986 pred "
+                        "agreement vs float32 on 40960-pt blocks)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel chips (batch_size must be divisible)")
 
@@ -95,6 +100,8 @@ def setup_experiment(args) -> Experiment:
             overrides["max_epoch"] = args.max_epoch
         if args.train_steps:
             overrides["train_steps"] = args.train_steps
+    if getattr(args, "compute_dtype", ""):
+        overrides["compute_dtype"] = args.compute_dtype
     cfg = dataclasses.replace(cfg, **overrides)
 
     ds_dir = os.path.join(args.data_root, args.dataset)

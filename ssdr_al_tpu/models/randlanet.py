@@ -120,16 +120,40 @@ def relative_pos_encoding(xyz, neigh_idx, neighbor_xyz=None):
     )
 
 
-def random_sample(feature, pool_idx):
+def random_sample(feature, pool_idx, window: int = 0):
     """Max-pool features of the k neighbors of each kept point (RandLANet.py:537-548).
 
-    feature [B, N, C]; pool_idx [B, N', k] → [B, N', C]."""
+    feature [B, N, C]; pool_idx [B, N', k] → [B, N', C].
+
+    window > 0 (sorted fast path): pool_idx rows are neigh rows of the kept
+    subset, so each 128-query tile's indices span ≤ search-window + kept-
+    position spread — gather through the windowed MXU kernel with starts
+    derived from the indices themselves (ops/gather.gather_window_auto).
+
+    Engine choice is a measured cost model: the kernel pays W·C_pad·2 MXU
+    FLOPs per gathered row (~80 TFLOP/s achieved) vs XLA's flat ~12 ns/row,
+    so the kernel wins iff W·C_pad ≲ 480k; gate at 300k for margin
+    (measured: pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1
+    W=4352·C=128 → 3.3 vs 3.0 ms XLA win)."""
+    n, (n_sub, k) = feature.shape[1], pool_idx.shape[1:]
+    if window and n % 128 == 0 and n_sub % 128 == 0:
+        from ssdr_al_tpu.ops.gather import gather_window_auto, pad_channels
+
+        f_pad, c = pad_channels(feature, k=k)
+        w_pool = min(window + 2048, n)
+        if w_pool * f_pad.shape[-1] <= 300_000:
+            pooled = gather_window_auto(f_pad, pool_idx, w_pool)
+            return jnp.max(pooled[..., :c], axis=2).astype(feature.dtype)
     pooled = gather_neighbour(feature, pool_idx)
     return jnp.max(pooled, axis=2)
 
 
 def nearest_interpolation(feature, interp_idx):
-    """feature [B, N', C]; interp_idx [B, N, 1] → [B, N, C] (RandLANet.py:550-559)."""
+    """feature [B, N', C]; interp_idx [B, N, 1] → [B, N, C] (RandLANet.py:550-559).
+
+    Stays on XLA's row gather: at k=1 the windowed MXU kernel's one-hot
+    build dominates and loses (measured 4.5 vs 3.0 ms on the 40960-row
+    decoder gather)."""
     idx = interp_idx[..., 0]
     return jnp.take_along_axis(feature, idx[..., None], axis=1)
 
@@ -347,7 +371,12 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
         n_sub = n // cfg.sub_sampling_ratio[i]
         use_window = n > 4096 and n % 256 == 0
         if use_window:
-            w = 4096 if n > 16384 else 2048
+            # search window sized so the MERGED gather window (w + GATHER_TQ
+            # − 256, below) lands exactly on 4096/2048: the gather kernel's
+            # one-hot K dim (W/8) then hits 512/256-aligned matmuls —
+            # measured 21% faster than W=4352 (K=544) at the same recall
+            # class (3840 vs 4096 search: recall −0.003 on uniform scenes)
+            w = (4096 if n > 16384 else 2048) - max(0, _GATHER_TQ - 256)
             sc = SortedCloud(cur_x, None, cur_c, n)
             neigh, sts = knn_window_sorted_raw(
                 sc, sc, cfg.k_n, window=w, self_query=True
@@ -478,7 +507,7 @@ class RandLANet(nn.Module):
                 f, pyramid.xyz[i], pyramid.neigh_idx[i], train,
                 starts, window,
             )
-            f_sampled = random_sample(f_enc, pyramid.sub_idx[i])
+            f_sampled = random_sample(f_enc, pyramid.sub_idx[i], window)
             f = f_sampled
             if i == 0:
                 f_encoder_list.append(f_enc)

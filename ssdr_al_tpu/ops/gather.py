@@ -43,40 +43,55 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
-                   *, k, window, c, tq):
+                   *, k, window, c, tq, fold):
     """One query tile: DMA the window slab HBM→VMEM, then per neighbor a
     GROUP one-hot matmul + lane-block selection.
 
-    The slab is stored FOLDED as [W/8, 8·C] (8 consecutive points per row) so
-    (a) the HBM slice is lane-aligned for any C that's a multiple of 16, and
-    (b) the one-hot is built over W/8 group columns instead of W — 8× less
+    The slab is stored FOLDED as [W/F, F·C] (F consecutive points per row) so
+    (a) the HBM slice is lane-aligned, and
+    (b) the one-hot is built over W/F group columns instead of W — F× less
     VPU work, which is what bounds the flat formulation. The matmul fetches
-    the whole 8-point group [TQ, 8C]; a cheap masked strided sum then picks
-    the right C-lane block. All refs stay 2-D (the batch dim is flattened
+    the whole F-point group [TQ, FC]; a cheap masked strided sum then picks
+    the right C-lane block. F is chosen so the matmul's N dim (F·C lanes) is
+    ≥256: at N=128 the bf16 MXU runs at ~22% peak, at N≥256 ~80% (measured,
+    see gather_window). All refs stay 2-D (the batch dim is flattened
     into rows by the wrapper — whole-array VMEM residency of batched values
     both overflows VMEM and trips an XLA scoped-vmem placement bug)."""
     i = pl.program_id(0)
     start = pl.multiple_of(start_ref[i], 128)
-    wg = window // 8
+    wg = window // fold
     dma = pltpu.make_async_copy(
-        f_hbm.at[pl.ds(pl.multiple_of(start // 8, 16), wg), :], slab, sem
+        f_hbm.at[pl.ds(pl.multiple_of(start // fold, 128 // fold), wg), :],
+        slab, sem,
     )
     dma.start()
     local = idx_ref[...] - start                                   # [TQ, k]
-    group = local // 8                                             # [TQ, k]
-    within = local - group * 8
+    group = local // fold                                          # [TQ, k]
+    within = local - group * fold
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (tq, wg), 1)
-    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, 8 * c), 1) // c
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, fold * c), 1) // c
     dma.wait()
-    s16 = slab[...].astype(jnp.bfloat16)                           # [W/8, 8C]
+    s16 = slab[...].astype(jnp.bfloat16)                           # [W/F, FC]
+    # (stacking several neighbors into one [J·TQ, W/F] matmul was tried to
+    # cut VPU↔MXU alternations; Mosaic can't concat [TQ,1] blocks along
+    # sublanes — "result/input offset mismatch on non-concat dimension")
     for j in range(k):
         oh = (iota_g == group[:, j][:, None]).astype(jnp.bfloat16)
-        y = jnp.dot(oh, s16, preferred_element_type=jnp.float32)   # [TQ, 8C]
+        y = jnp.dot(oh, s16, preferred_element_type=jnp.float32)   # [TQ, FC]
         y = y * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
         acc = y[:, 0:c]
-        for r in range(1, 8):
+        for r in range(1, fold):
             acc = acc + y[:, r * c:(r + 1) * c]
         out_ref[:, j * c:(j + 1) * c] = acc
+
+
+def _pick_fold(c: int, window: int) -> int:
+    """Points per slab group. Swept fold ∈ {8,16} × tq ∈ {128,256,512} on the
+    LFA gather shape (C=16, W=4096/4352): fold=8 wins everywhere (fold=16
+    halves the one-hot K dim, which hurts more than the wider N helps);
+    window alignment dominates instead — W=4096 (K=512) runs 21% faster
+    than W=4352 (K=544) at tq=512."""
+    return 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -91,20 +106,22 @@ def gather_window(values, idx, starts, window: int, tq: int = 128):
     return _gather_window_impl(values, idx, starts, window, tq)
 
 
-def _gather_window_impl(values, idx, starts, window, tq):
+def _gather_window_impl(values, idx, starts, window, tq, fold=None):
     b, n, c = values.shape
     _, nq, k = idx.shape
     assert n % 128 == 0 and nq % tq == 0, (n, nq)
     assert c % 16 == 0 and (k * c) % 128 == 0, (k, c)
+    if fold is None:
+        fold = _pick_fold(c, window)
     tiles = nq // tq
     # flatten the batch into rows; windows never cross batch boundaries
     # because each start stays within its own batch's [b·n, (b+1)·n) range
-    values_f = values.reshape(b * n // 8, 8 * c)          # folded groups
+    values_f = values.reshape(b * n // fold, fold * c)    # folded groups
     row_off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     idx_f = (idx.reshape(b, nq * k) + row_off).reshape(b * nq, k)
     starts_f = (starts + row_off).reshape(-1)
     kernel = functools.partial(
-        _gather_kernel, k=k, window=window, c=c, tq=tq
+        _gather_kernel, k=k, window=window, c=c, tq=tq, fold=fold
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -117,7 +134,7 @@ def _gather_window_impl(values, idx, starts, window, tq):
         out_specs=pl.BlockSpec((tq, k * c), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((window // 8, 8 * c), values.dtype),
+            pltpu.VMEM((window // fold, fold * c), values.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -148,6 +165,47 @@ def _gather_window_bwd(window, tq, res, g):
 
 
 gather_window.defvjp(_gather_window_fwd, _gather_window_bwd)
+
+
+def tile_min_starts(idx, n: int, window: int, tq: int):
+    """Per-tile 128-aligned window starts derived from the indices' own
+    minimum. idx [B, Nq, k] → starts [B, Nq/tq] int32 in [0, n-window]."""
+    b, nq, k = idx.shape
+    tiles = nq // tq
+    mn = jnp.min(idx.reshape(b, tiles, tq * k), axis=-1).astype(jnp.int32)
+    return jnp.clip((mn // 128) * 128, 0, max(n - window, 0))
+
+
+def gather_window_auto(values, idx, window: int, tq: int = 128):
+    """gather_window for index sets that are *windowed but whose starts
+    aren't carried*: pool and upsample gathers on the sorted fast path
+    (models.randlanet). pool_idx rows are neigh rows of the KEPT subset, so
+    each tq-query tile's indices span at most (search window + kept-position
+    spread); deriving the start from the tile's own min index and adding
+    slack to `window` covers that span. Indices are clamped into the derived
+    window — a clamp only fires when a tile's index spread exceeds `window`
+    (requires a ~10σ density fluctuation of the random kept subset; measured
+    zero violations at production sizes, gated in tests/test_knn.py).
+
+    Returns [B, Nq, k, C] float32 (values rounded to bf16, as gather_window).
+    """
+    n = values.shape[1]
+    window = min(window, n)
+    assert window % 8 == 0, window
+    starts = tile_min_starts(idx, n, window, tq)
+    lo = jnp.repeat(starts, tq, axis=1)[..., None]
+    idx_c = jnp.clip(idx, lo, lo + (window - 1))
+    return gather_window(values, idx_c, starts, window, tq)
+
+
+def window_violations(idx, window: int, tq: int = 128) -> jax.Array:
+    """Count of indices gather_window_auto would clamp (test/bench gate)."""
+    b, nq, k = idx.shape
+    tiles = nq // tq
+    r = idx.reshape(b, tiles, tq * k)
+    spread = jnp.max(r, axis=-1) - jnp.min(r, axis=-1)
+    # min is 128-aligned down, so the effective span budget shrinks by ≤127
+    return jnp.sum(jnp.maximum(spread - (window - 128), 0) > 0)
 
 
 def pad_channels(x, multiple_of: int = 16, k: int = 16):
