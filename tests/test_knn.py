@@ -96,6 +96,36 @@ class TestKnnWindow:
         recall = np.mean([len(set(g) & e) / 16 for g, e in zip(got, exact)])
         assert recall >= 0.93, recall
 
+    def test_two_probe_lifts_recall(self, rng):
+        """probes=2 (shifted-grid second window, exact-distance merge) must
+        strictly improve recall over a single probe, return valid ids, and
+        never return duplicate neighbors."""
+        from ssdr_al_tpu.data.synthetic import make_room
+        from ssdr_al_tpu.ops.knn import knn_window
+
+        room = make_room(rng, "r", num_points=8000)
+        pts = room.xyz[None]
+        k, w = 16, 512  # small window: recall gap large enough to measure
+        i1 = np.asarray(knn_window(pts, pts, k, window=w))
+        i2 = np.asarray(knn_window(pts, pts, k, window=w, probes=2))
+        assert (i2 >= 0).all() and (i2 < pts.shape[1]).all()
+        # no duplicates within a row
+        assert all(len(set(r)) == k for r in i2[0][:500])
+        d2 = ((pts[0][:500, None] - pts[0][None]) ** 2).sum(-1)
+        exact = [set(r) for r in np.argsort(d2, 1)[:, :k]]
+
+        def recall(idx):
+            return np.mean([len(set(g) & e) / k
+                            for g, e in zip(idx[0][:500], exact)])
+
+        r1, r2 = recall(i1), recall(i2)
+        assert r2 > r1 + 0.01, (r1, r2)
+        # dual probes at half-window should be competitive with the single
+        # probe at full window (the equal-cost comparison; measured
+        # single 0.887 / dual 0.937 / single-2w 0.954 on this scene)
+        ifull = np.asarray(knn_window(pts, pts, k, window=2 * w))
+        assert r2 >= recall(ifull) - 0.03, (r2, recall(ifull))
+
     def test_small_cloud_falls_back_exact(self, rng):
         from ssdr_al_tpu.ops.knn import knn_window
 
