@@ -393,6 +393,19 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
                 w = w_g
             elif GATHER_TQ < 256:
                 sts = jnp.repeat(sts, 256 // GATHER_TQ)
+        elif n >= 2048 and n % max(512, GATHER_TQ) == 0 and n <= 4096:
+            # mid layers: the window can cover the WHOLE sorted cloud — the
+            # fused kernel then sees every support point in every tile
+            # (exact up to its 12-bit packed-distance tie-breaking; max
+            # observed d2 drift 2e-4 vs knn_xla) and is ~4× faster than the
+            # knn_xla extraction-merge at these sizes (measured 5.5 → ~1.3 ms
+            # at n=2560); all-zero starts double as gather-kernel starts
+            sc = SortedCloud(cur_x, None, cur_c, n)
+            neigh, _ = knn_window_sorted_raw(
+                sc, sc, cfg.k_n, window=n, self_query=True
+            )
+            sts = jnp.zeros(n // GATHER_TQ, jnp.int32)
+            w = n
         else:
             # exact XLA knn: approx_min_k is pathologically slow at these
             # sizes on this platform (n=2560 self-search: 23.5 vs 6.3 ms)

@@ -71,7 +71,7 @@ def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (tq, wg), 1)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, fold * c), 1) // c
     dma.wait()
-    s16 = slab[...].astype(jnp.bfloat16)                           # [W/F, FC]
+    s16 = slab[...]                             # [W/F, FC] bf16 (pre-cast)
     # (stacking several neighbors into one [J·TQ, W/F] matmul was tried to
     # cut VPU↔MXU alternations; Mosaic can't concat [TQ,1] blocks along
     # sublanes — "result/input offset mismatch on non-concat dimension")
@@ -111,12 +111,17 @@ def _gather_window_impl(values, idx, starts, window, tq, fold=None):
     _, nq, k = idx.shape
     assert n % 128 == 0 and nq % tq == 0, (n, nq)
     assert c % 16 == 0 and (k * c) % 128 == 0, (k, c)
+    # bf16 slab rows pack (16, 128) tiles: the DMA offset (start/fold) and
+    # extent (window/fold) must stay 16-sublane aligned
+    assert window % 128 == 0, window
     if fold is None:
         fold = _pick_fold(c, window)
     tiles = nq // tq
     # flatten the batch into rows; windows never cross batch boundaries
-    # because each start stays within its own batch's [b·n, (b+1)·n) range
-    values_f = values.reshape(b * n // fold, fold * c)    # folded groups
+    # because each start stays within its own batch's [b·n, (b+1)·n) range.
+    # Values round to bf16 HERE (not in-kernel): halves the per-tile slab
+    # DMA and drops 480×[W/8, FC] in-kernel casts
+    values_f = values.astype(jnp.bfloat16).reshape(b * n // fold, fold * c)
     row_off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     idx_f = (idx.reshape(b, nq * k) + row_off).reshape(b * nq, k)
     starts_f = (starts + row_off).reshape(-1)
@@ -134,7 +139,7 @@ def _gather_window_impl(values, idx, starts, window, tq, fold=None):
         out_specs=pl.BlockSpec((tq, k * c), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((window // fold, fold * c), values.dtype),
+            pltpu.VMEM((window // fold, fold * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

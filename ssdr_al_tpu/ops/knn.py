@@ -360,6 +360,10 @@ def knn_window_sorted_raw(sup: "SortedCloud", qry: "SortedCloud", k, *,
         )
     starts = jnp.clip(pos_med - window // 2, 0, ns_pad - window)
     starts = (starts // 128) * 128
+    # (a chunked variant with per-chunk skip against a scalar kth bound was
+    # tried to cut the k-step extraction: exact, but NO chunk ever skips —
+    # the bound is a max over 256 rows and nearly every tile contains a
+    # morton-outlier row — and the per-chunk overheads made it 2× slower)
     rel = _run_window_pallas(
         sup.xyz_sorted, q_sorted, starts, k, query_chunk, window
     )
