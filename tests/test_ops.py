@@ -2,6 +2,7 @@
 against numpy oracles mirroring the reference implementations."""
 
 import numpy as np
+import jax.numpy as jnp
 
 from ssdr_al_tpu.ops import (
     chamfer_pairwise,
@@ -246,3 +247,57 @@ class TestGridSubsample:
         got = sorted(map(tuple, np.round(jp[valid], 5)))
         want = sorted(map(tuple, np.round(sub_pts, 5)))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestGatherHelpers:
+    """CPU-testable pieces of the windowed gather (the pallas kernel itself
+    is TPU-gated in tests/test_knn.py::TestSortedFastPath)."""
+
+    def test_tile_min_starts_bounds(self, rng):
+        from ssdr_al_tpu.ops.gather import tile_min_starts
+
+        n, nq, k, tq, w = 4096, 1024, 16, 128, 1024
+        idx = rng.randint(0, n, (2, nq, k)).astype(np.int32)
+        starts = np.asarray(tile_min_starts(jnp.asarray(idx), n, w, tq))
+        assert starts.shape == (2, nq // tq)
+        assert (starts % 128 == 0).all()
+        assert (starts >= 0).all() and (starts <= n - w).all()
+        # each tile's min index is inside its window
+        mins = idx.reshape(2, nq // tq, tq * k).min(-1)
+        assert (mins >= starts).all()
+
+    def test_window_violations_counts(self, rng):
+        from ssdr_al_tpu.ops.gather import window_violations
+
+        nq, k, tq = 256, 4, 128
+        # tile 0 spans [0, 500) — fits a 1024 window; tile 1 spans [0, 5000)
+        idx = np.zeros((1, nq, k), np.int32)
+        idx[0, :tq] = rng.randint(0, 500, (tq, k))
+        idx[0, tq:] = rng.randint(0, 5000, (tq, k))
+        idx[0, tq] = [0, 4999, 0, 0]  # force the wide spread
+        v = int(window_violations(jnp.asarray(idx), 1024, tq))
+        assert v == 1
+        assert int(window_violations(jnp.asarray(idx), 8192, tq)) == 0
+
+    def test_pool_spread_fits_window(self, rng):
+        """The sorted-pyramid pool invariant random_sample relies on: for a
+        random kept subset (1/ratio prefix of a shuffled order), the per-tile
+        index spread of pool_idx = neigh[kept_pos] stays within the search
+        window + 2048 slack (models/randlanet.py random_sample)."""
+        from ssdr_al_tpu.ops.gather import window_violations
+
+        n, ratio, k, tq, w_search = 40960, 4, 16, 128, 3840
+        n_sub = n // ratio
+        perm = rng.permutation(n)
+        kept_pos = np.sort(np.where(perm < n_sub)[0]).astype(np.int32)
+        # emulate the self-search window invariant: neigh of tile t lies in
+        # [start_t, start_t + w); starts step 256 per search tile
+        neigh = np.zeros((n, k), np.int32)
+        for t in range(n // 256):
+            lo = min(max(t * 256 + 128 - w_search // 2, 0), n - w_search)
+            lo = (lo // 128) * 128
+            neigh[t * 256:(t + 1) * 256] = rng.randint(
+                lo, lo + w_search, (256, k))
+        pool_idx = neigh[kept_pos][None]
+        v = int(window_violations(jnp.asarray(pool_idx), w_search + 2048, tq))
+        assert v == 0
