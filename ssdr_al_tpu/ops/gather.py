@@ -150,22 +150,113 @@ def _gather_window_impl(values, idx, starts, window, tq, fold=None):
     return out.reshape(b, nq, k, c)
 
 
+def _scatter_kernel(start_ref, idx_ref, idxt_ref, g_ref, out_ref, acc,
+                    *, k, window, c, tq, fold, tiles):
+    """Transpose of _gather_kernel: scatter-add the cotangent rows back into
+    the (folded) value rows via OHᵀ @ G matmuls, accumulating the WHOLE
+    batch-element slab in VMEM across its (sequential) grid tiles.
+
+    XLA's scatter-add pays the same flat ~12 ns/row as its gather; this
+    kernel pays the gather kernel's own W·C_pad FLOP cost instead — the same
+    crossover economics as the forward. idxt (the [k, TQ] transpose of idx)
+    is passed separately because building a [wg, TQ] one-hot needs the
+    neighbor ids laid along LANES, and Mosaic cannot transpose the [TQ, k]
+    block in-kernel (sublane↔lane reshape).
+    """
+    it = pl.program_id(1)
+    start = pl.multiple_of(start_ref[pl.program_id(0) * tiles + it], 128)
+    wg = window // fold
+    sg = pl.multiple_of(start // fold, 128 // fold)
+
+    @pl.when(it == 0)
+    def _zero():
+        acc[...] = jnp.zeros_like(acc)
+
+    local_t = idxt_ref[...] - start                    # [k, TQ]
+    group_t = local_t // fold
+    local = idx_ref[...] - start                       # [TQ, k]
+    within = local - (local // fold) * fold
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, fold * c), 1) // c
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (wg, tq), 0)
+    # placement matrix P[r, l] = (l % c == r): g_j @ P tiles g_j into all
+    # fold lane blocks (lane-block broadcast via MXU — Mosaic has no cheap
+    # lane-tile op)
+    p_r = jax.lax.broadcasted_iota(jnp.int32, (c, fold * c), 0)
+    p_l = jax.lax.broadcasted_iota(jnp.int32, (c, fold * c), 1) % c
+    pmat = (p_r == p_l).astype(jnp.bfloat16)
+
+    a = jnp.zeros((wg, fold * c), jnp.float32)
+    for j in range(k):
+        g_j = g_ref[:, j * c:(j + 1) * c].astype(jnp.bfloat16)
+        t = jnp.dot(g_j, pmat, preferred_element_type=jnp.float32)
+        t = t * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
+        oht = (rows_w == group_t[j:j + 1, :]).astype(jnp.bfloat16)
+        a = a + jnp.dot(oht, t.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    acc[pl.ds(sg, wg), :] += a
+
+    @pl.when(it == tiles - 1)
+    def _flush():
+        out_ref[...] = acc[...]
+
+
+def _scatter_window_impl(g, idx, starts, n, window, tq, fold):
+    b, nq, k, c = g.shape
+    tiles = nq // tq
+    g_f = g.reshape(b * nq, k * c)
+    idx_f = idx.reshape(b * nq, k)
+    idxt_f = jnp.swapaxes(idx, 1, 2).reshape(b * k, nq)
+    starts_f = starts.reshape(-1)
+    kernel = functools.partial(
+        _scatter_kernel, k=k, window=window, c=c, tq=tq, fold=fold,
+        tiles=tiles,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((tq, k), lambda ib, it, s: (ib * tiles + it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda ib, it, s: (ib, it),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k * c), lambda ib, it, s: (ib * tiles + it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n // fold, fold * c),
+                               lambda ib, it, s: (ib, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n // fold, fold * c), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * n // fold, fold * c),
+                                       jnp.float32),
+    )(starts_f, idx_f, idxt_f, g_f)
+    return out.reshape(b, n, c)
+
+
 def _gather_window_fwd(values, idx, starts, window, tq):
     # zero-size token carries values' static shape+dtype into the bwd rule
     token = jnp.zeros((0,) + values.shape, values.dtype)
-    return _gather_window_impl(values, idx, starts, window, tq), (token, idx)
+    return (_gather_window_impl(values, idx, starts, window, tq),
+            (token, idx, starts))
 
 
 def _gather_window_bwd(window, tq, res, g):
-    token, idx = res
+    token, idx, starts = res
     _, b, n, c = token.shape
-    # scatter-add the cotangent rows back into the value rows (XLA scatter;
-    # only the training path pays this)
-    flat = idx.reshape(b, -1)
-    g2 = g.reshape(b, -1, c)
-    dv = jax.vmap(
-        lambda i, gg: jnp.zeros((n, c), jnp.float32).at[i].add(gg)
-    )(flat, g2)
+    fold = _pick_fold(c, window)
+    if jax.default_backend() == "tpu":
+        dv = _scatter_window_impl(
+            g.astype(jnp.float32), idx, starts, n, window, tq, fold
+        )
+    else:
+        # scatter-add the cotangent rows back into the value rows
+        flat = idx.reshape(b, -1)
+        g2 = g.reshape(b, -1, c)
+        dv = jax.vmap(
+            lambda i, gg: jnp.zeros((n, c), jnp.float32).at[i].add(gg)
+        )(flat, g2)
     return dv.astype(token.dtype), None, None
 
 

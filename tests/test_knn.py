@@ -186,6 +186,40 @@ class TestSortedFastPath:
             # values round to bf16 inside the kernel
             np.testing.assert_allclose(out[b], f[b][idx], rtol=1e-2, atol=1e-3)
 
+    def test_gather_window_backward_matches_scatter(self, rng):
+        """The Pallas transpose-scatter backward must agree with the XLA
+        scatter-add oracle (up to bf16 cotangent rounding)."""
+        import jax
+
+        from ssdr_al_tpu.ops.gather import gather_window
+
+        N, k, W, TQ, B, C = 2048, 16, 1024, 128, 2, 16
+        pos = np.arange(N)
+        starts = np.clip(((pos[::TQ]) // 128) * 128 - W // 2, 0, N - W)
+        starts = ((starts // 128) * 128).astype(np.int32)
+        idx = np.zeros((N, k), np.int32)
+        for t in range(N // TQ):
+            idx[t * TQ:(t + 1) * TQ] = rng.randint(
+                starts[t], starts[t] + W, (TQ, k))
+        f = rng.rand(B, N, C).astype(np.float32)
+        w = rng.rand(B, N, k, C).astype(np.float32)
+        idx_b = jnp.asarray(np.broadcast_to(idx, (B, N, k))).copy()
+        st_b = jnp.asarray(np.broadcast_to(starts, (B, len(starts)))).copy()
+        wd = jnp.asarray(w)
+
+        def loss(v):
+            out = gather_window(v, idx_b, st_b, W, TQ)
+            return jnp.sum(out * wd)
+
+        dv = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(f)))
+        want = np.zeros((B, N, C), np.float32)
+        for b in range(B):
+            np.add.at(want[b], idx.reshape(-1),
+                      w[b].reshape(-1, C))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(dv / scale, want / scale,
+                                   rtol=0, atol=1.5e-2)
+
     def test_sorted_model_matches_original_order(self, rng):
         """Same search windows → same neighbor sets; logits differ only by
         bf16 gather rounding (VERDICT r1 #7: a loud gate for the fast path)."""
