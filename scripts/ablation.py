@@ -147,6 +147,9 @@ def main():
     p.add_argument("--workdir", default="")
     p.add_argument("--t", type=int, default=0,
                    help="trial seed: varies sampler + training-pipeline RNG")
+    p.add_argument("--configs", default="random,sb_mean,ssdr_full",
+                   help="comma-separated subset of: random, sb_mean, "
+                        "ssdr_full, ssdr_dom ('' = all)")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
@@ -173,7 +176,7 @@ def main():
         log({"event": "setup", "total_sp": total_sp,
              "clicks_per_round": args.clicks, "rounds": args.rounds})
 
-        configs = [
+        all_configs = [
             ("random", "random"),
             ("sb_mean", TSamplerArgs(
                 point_uncertainty_mode="sb", uncertainty_mode="mean",
@@ -182,7 +185,16 @@ def main():
                 point_uncertainty_mode="sb", uncertainty_mode="WetSU",
                 oracle_mode="NAIL", class_balance="clsbal",
                 diversity="gcn_fps")),
+            # full diversity stack with the dominant oracle: isolates NAIL's
+            # split-budget cost (at tiny click budgets the splits eat budget;
+            # the reference runs at 10000 clicks/round where they amortize)
+            ("ssdr_dom", TSamplerArgs(
+                point_uncertainty_mode="sb", uncertainty_mode="WetSU",
+                oracle_mode="dominant", class_balance="clsbal",
+                diversity="gcn_fps")),
         ]
+        wanted = [c for c in args.configs.split(",") if c]
+        configs = [c for c in all_configs if not wanted or c[0] in wanted]
         curves = {}
         for tag, kind in configs:
             curves[tag] = run_config(

@@ -1,0 +1,79 @@
+"""Merge sampler-ablation trials (JSONL from scripts/ablation.py) into one
+seed-averaged markdown table.
+
+    python scripts/ablation_summary.py run_t0.jsonl run_t1.jsonl ... \
+        --out ABLATION.md --header "3 rooms x 12000 pts, ..."
+
+Each input holds {"sampler", "round", "miou", ...} records for one trial.
+The output table reports mean mIoU per (sampler, round) over trials, the
+per-sampler mean of the final three rounds (a noise-robust endpoint), and
+the number of trials.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+
+
+def load(path):
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if "sampler" in r and "round" in r and r["sampler"] != "seed":
+                recs.append(r)
+    return recs
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--out", default="ABLATION.md")
+    p.add_argument("--header", default="")
+    args = p.parse_args()
+
+    by = collections.defaultdict(list)    # (sampler, round) -> [miou]
+    samplers, rounds = [], set()
+    for path in args.inputs:
+        for r in load(path):
+            key = (r["sampler"], r["round"])
+            by[key].append(r["miou"])
+            if r["sampler"] not in samplers:
+                samplers.append(r["sampler"])
+            rounds.add(r["round"])
+    rounds = sorted(rounds)
+    trials = max(len(v) for v in by.values())
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    lines = ["# Sampler ablation (hard synthetic scenes)", ""]
+    if args.header:
+        lines += [args.header, ""]
+    lines += [f"mIoU averaged over **{trials} trials** "
+              f"(seeds vary sampler + training-pipeline RNG).", ""]
+    lines.append("| round | " + " | ".join(samplers) + " |")
+    lines.append("|---|" + "---|" * len(samplers))
+    for rd in rounds:
+        row = [f"{mean(by[(s, rd)]):.4f}" if (s, rd) in by else "—"
+               for s in samplers]
+        lines.append(f"| {rd} | " + " | ".join(row) + " |")
+    tail = {
+        s: mean([mean(by[(s, rd)]) for rd in rounds[-3:] if (s, rd) in by])
+        for s in samplers
+    }
+    lines += ["",
+              "Final-3-round mean mIoU: "
+              + json.dumps({s: round(v, 4) for s, v in tail.items()}), ""]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
