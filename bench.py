@@ -136,8 +136,10 @@ def measure_train_step(batch_size: int, iters: int = 8):
 
 
 def measure_window_recall(n: int = 40960, k: int = 16):
-    """Recall of the default window KNN engine vs exact XLA KNN on one block
-    (regression gate for the Pallas/window kernel, VERDICT round-1 #7)."""
+    """Recall of the window KNN engine vs exact XLA KNN on one block
+    (regression gate for the Pallas/window kernel, VERDICT round-1 #7).
+    Returns (engine-default recall, recall at the model's L0 search window
+    3840 — the recall the RandLA-Net pyramid actually runs at)."""
     import jax.numpy as jnp
 
     from ssdr_al_tpu.ops.knn import knn
@@ -145,13 +147,18 @@ def measure_window_recall(n: int = 40960, k: int = 16):
     rng = np.random.RandomState(0)
     xyz = (rng.rand(1, n, 3) * 10).astype(np.float32)
     x = jnp.asarray(xyz)
-    idx_w = np.asarray(knn(x, x, k, engine="window"))[0]
     idx_e = np.asarray(knn(x, x, k, engine="xla"))[0]
-    hits = 0
-    for i in range(0, n, 37):  # sampled rows (row-set comparison on host)
-        hits += len(np.intersect1d(idx_w[i], idx_e[i]))
-    rows = len(range(0, n, 37))
-    return hits / (rows * k)
+
+    def recall(idx_w):
+        hits = 0
+        for i in range(0, n, 37):  # sampled rows (row-set comparison)
+            hits += len(np.intersect1d(idx_w[i], idx_e[i]))
+        return hits / (len(range(0, n, 37)) * k)
+
+    r_default = recall(np.asarray(knn(x, x, k, engine="window"))[0])
+    r_model = recall(
+        np.asarray(knn(x, x, k, engine="window", window=3840))[0])
+    return r_default, r_model
 
 
 def measure_reference_tfmap(batch_size: int = 1):
@@ -269,7 +276,7 @@ def main():
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
     train_pps = measure_train_step(batch)
-    recall = measure_window_recall()
+    recall, recall_model = measure_window_recall()
     # best-of-2 single-worker host tf_map, then credit the reference its
     # 6 DataLoader workers with ideal linear scaling (see module docstring)
     host_1w = max(measure_reference_tfmap(1) for _ in range(2))
@@ -280,6 +287,7 @@ def main():
         "host_tfmap_1worker_points_per_sec": round(host_1w, 1),
         "host_tfmap_6worker_points_per_sec": round(host_6w, 1),
         "knn_window_recall_at_16": round(recall, 4),
+        "knn_window_recall_at_16_model_w3840": round(recall_model, 4),
     }
     if not args.skip_selection:
         dt, clouds, pts = measure_selection_round()
