@@ -39,7 +39,7 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def measure_tpu(batch_size: int, iters: int = 10):
+def measure_tpu(batch_size: int, iters: int = 10, dataset: str = "S3DIS"):
     import dataclasses
 
     import jax
@@ -47,13 +47,13 @@ def measure_tpu(batch_size: int, iters: int = 10):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.config import get_config
     from ssdr_al_tpu.models.randlanet import RandLANet, build_pyramid
 
     # bfloat16 activations: the recommended TPU inference config
     # (--compute_dtype bfloat16). Measured vs float32 on the bench block:
     # pred agreement 0.9986, max rel logit diff 0.9%.
-    cfg = dataclasses.replace(ConfigS3DIS, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(get_config(dataset), compute_dtype="bfloat16")
     model = RandLANet(cfg)
     rng = np.random.RandomState(0)
     xyz = (rng.rand(batch_size, cfg.num_points, 3) * 10).astype(np.float32)
@@ -282,7 +282,13 @@ def main():
     host_1w = max(measure_reference_tfmap(1) for _ in range(2))
     host_6w = host_1w * REF_WORKERS
 
+    # Semantic3D block config (65536 pts × batch 4, helper_tool.py:77-117):
+    # the second dataset family's forward on the same fast path
+    sem3d_pps = measure_tpu(4, iters=6, dataset="Semantic3D")
+
     extras = {
+        "semantic3d_block_pipeline_points_per_sec_per_chip": round(
+            sem3d_pps, 1),
         "train_step_points_per_sec_per_chip": round(train_pps, 1),
         "host_tfmap_1worker_points_per_sec": round(host_1w, 1),
         "host_tfmap_6worker_points_per_sec": round(host_6w, 1),

@@ -86,10 +86,12 @@ def gather_neighbour(pc, neighbor_idx):
 
 def gather_neighbour_fast(pc, neighbor_idx, starts, window: int):
     """gather_neighbour through the windowed Pallas MXU kernel when the
-    sorted-space window invariant holds (starts per 128-query tile from the
-    KNN search; see ops/gather.py). XLA's per-row gather costs ~12 ns/row on
-    this platform — the kernel is ~2× faster AND channel-count-free, so
-    callers concatenate xyz+features into one call. Values round to bf16."""
+    sorted-space window invariant holds (starts per gather tile from the
+    KNN search; see ops/gather.py) AND the cost model favors it: the kernel
+    pays ~W·C_pad·2 FLOP per gathered row (~40-80 TF/s) vs XLA's flat
+    ~12 ns/row, so it wins iff W·C_pad ≲ 480k (e.g. S3DIS L0 both-gather
+    4096·16=66k → 2.3× win; Semantic3D's 4096-pt layer at C=144 → 590k,
+    a wash — stay on XLA). Values round to bf16 in the kernel."""
     if starts is None:
         return gather_neighbour(pc, neighbor_idx)
     from ssdr_al_tpu.ops.gather import gather_window, pad_channels
@@ -97,6 +99,8 @@ def gather_neighbour_fast(pc, neighbor_idx, starts, window: int):
     c = pc.shape[-1]
     k = neighbor_idx.shape[-1]
     pc_pad, _ = pad_channels(pc, k=k)
+    if window * pc_pad.shape[-1] > 480_000:
+        return gather_neighbour(pc, neighbor_idx)
     out = gather_window(pc_pad, neighbor_idx, starts, window, _GATHER_TQ)
     return out[..., :c]
 
