@@ -54,6 +54,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="activation dtype ('' = config default float32; "
                         "bfloat16 recommended on TPU — measured 0.9986 pred "
                         "agreement vs float32 on 40960-pt blocks)")
+    p.add_argument("--search_window", type=int, default=0,
+                   help="morton search window for big pyramid layers "
+                        "(0 = config default 4096; multiple of 512, <= 4096;"
+                        " speed/recall knob — see Config.search_window)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel chips (batch_size must be divisible)")
 
@@ -102,6 +106,8 @@ def setup_experiment(args) -> Experiment:
             overrides["train_steps"] = args.train_steps
     if getattr(args, "compute_dtype", ""):
         overrides["compute_dtype"] = args.compute_dtype
+    if getattr(args, "search_window", 0):
+        overrides["search_window"] = args.search_window
     cfg = dataclasses.replace(cfg, **overrides)
 
     ds_dir = os.path.join(args.data_root, args.dataset)

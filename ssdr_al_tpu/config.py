@@ -40,6 +40,12 @@ class Config:
 
     # --- numerics ---
     compute_dtype: str = "float32"     # activations dtype inside the network
+    # Morton search window for big (>16384-pt) pyramid layers, BEFORE the
+    # gather-tile merge derate (models/randlanet.py). Mid layers use half.
+    # Speed/recall knob: the search+gather cost of the two big layers scales
+    # ~linearly with it; recall at 40960 pts: 4096→0.93, 2048→0.905.
+    # Must be a multiple of 512.
+    search_window: int = 4096
 
     # --- AL loop ---
     sp_batch_size: int = 10000         # superpoint clicks per round

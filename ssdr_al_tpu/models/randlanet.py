@@ -376,11 +376,13 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
         use_window = n > 4096 and n % 256 == 0
         if use_window:
             # search window sized so the MERGED gather window (w + GATHER_TQ
-            # − 256, below) lands exactly on 4096/2048: the gather kernel's
-            # one-hot K dim (W/8) then hits 512/256-aligned matmuls —
-            # measured 21% faster than W=4352 (K=544) at the same recall
-            # class (3840 vs 4096 search: recall −0.003 on uniform scenes)
-            w = (4096 if n > 16384 else 2048) - max(0, _GATHER_TQ - 256)
+            # − 256, below) lands exactly on cfg.search_window (/2 for mid
+            # layers): the gather kernel's one-hot K dim (W/8) then hits
+            # 512/256-aligned matmuls — measured 21% faster than W=4352
+            # (K=544) at the same recall class (3840 vs 4096 search:
+            # recall −0.003 on uniform scenes)
+            sw = getattr(cfg, "search_window", 4096)
+            w = (sw if n > 16384 else sw // 2) - max(0, _GATHER_TQ - 256)
             sc = SortedCloud(cur_x, None, cur_c, n)
             neigh, sts = knn_window_sorted_raw(
                 sc, sc, cfg.k_n, window=w, self_query=True
