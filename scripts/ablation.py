@@ -114,9 +114,22 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
             r, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
             evaluate,
         )
+        # pseudo-label quality: accuracy of the activated pseudo labels vs
+        # true GT, and labeled coverage — discriminates "oracle produced bad
+        # labels" from "training variance" when curves dip
+        pg_hit = pg_n = act_n = tot_n = 0
+        for c in train:
+            pg = pseudo[c.name]
+            act = pg[0] > 0
+            pg_hit += int((pg[1][act].astype(np.int64) == c.labels[act]).sum())
+            pg_n += int(act.sum())
+            act_n += int(act.sum())
+            tot_n += c.num_points
         rec = {"sampler": tag, "round": r, "miou": round(miou, 4),
                "oa": round(oa, 4), "labeled_sp": stats.sp_num,
                "labeled_pts": stats.p_num + stats.sub_p_num,
+               "pseudo_acc": round(pg_hit / max(pg_n, 1), 4),
+               "coverage": round(act_n / max(tot_n, 1), 4),
                "sel_s": round(sel_t, 1), "train_s": round(time.time() - t0, 1)}
         log(rec)
         curve.append(rec)
