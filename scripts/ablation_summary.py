@@ -70,6 +70,18 @@ def main():
     lines += ["",
               "Final-3-round mean mIoU: "
               + json.dumps({s: round(v, 4) for s, v in tail.items()}), ""]
+    # pseudo-label quality, when the trials recorded it
+    pq = collections.defaultdict(list)   # sampler -> [(acc, cov)]
+    for path in args.inputs:
+        for r in load(path):
+            if "pseudo_acc" in r:
+                pq[r["sampler"]].append((r["pseudo_acc"], r["coverage"]))
+    if pq:
+        qual = {s: {"pseudo_acc": round(mean([a for a, _ in v]), 4),
+                    "final_coverage": round(max(c for _, c in v), 4)}
+                for s, v in pq.items()}
+        lines += ["Pseudo-label quality (mean accuracy of activated labels, "
+                  "max coverage): " + json.dumps(qual), ""]
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
