@@ -8,7 +8,7 @@ TPU-native replacement for the reference's OpenMP/nanoflann CPU extension
 The reference builds a KD-tree per cloud on the host; on TPU the right shape
 is a *tiled brute-force* search — the distance computation is a matmul that
 rides the MXU, and blocks of the O(Nq·Ns) distance matrix are never
-materialized in HBM. Three engines (all take support [B,Ns,3], query
+materialized in HBM. Four engines (all take support [B,Ns,3], query
 [B,Nq,3] → int32 [B,Nq,k], ascending distance):
 
   knn_window — morton-window search, the model-pyramid DEFAULT: support and
@@ -16,11 +16,13 @@ materialized in HBM. Three engines (all take support [B,Ns,3], query
                morton-contiguous query tile searches one window-sized slice
                of the sorted support via a fused Pallas kernel (distances +
                bit-packed top-k entirely in VMEM). ~12 ms device time per
-               40960² k=16 search at ≥0.97 recall — 3× faster than approx,
-               ~20× faster than exact top-k merging. RandLA-Net's
-               neighborhoods feed max/attention aggregation and the
-               architecture randomizes its sampling everywhere, so ≥97%
-               neighbor recall is statistically invisible (gated in
+               40960² k=16 search at ~0.93 recall (scene-dependent; the
+               bench records it per run, probes=2 lifts it further) —
+               3× faster than approx, ~20× faster than exact top-k
+               merging. RandLA-Net's neighborhoods feed max/attention
+               aggregation and the architecture randomizes its sampling
+               everywhere, so ~93% neighbor recall is statistically
+               invisible (TPU-gated model-agreement test in
                tests/test_knn.py).
   knn_approx — chunked distances + `jax.lax.approx_min_k` (the TPU's
                PartialReduce hardware path); ≥0.997 recall at
@@ -148,8 +150,8 @@ def _knn_window_single(support, query, k, query_chunk, window, shift=0):
     morton-contiguous query chunk searches only a `window`-sized slice of the
     sorted support centered on its median rank. Spatial locality makes the
     slice contain (almost) all true neighbors at a fraction of the O(Nq·Ns)
-    distance work. Approximate: measured recall ≥0.97 at window=4096 on
-    40960-pt scenes (tests/test_knn.py gates it on TPU)."""
+    distance work. Approximate: measured recall 0.93-0.97 at window=4096
+    depending on scene clustering (tests/test_knn.py gates it)."""
     ns, nq = support.shape[0], query.shape[0]
     window = min(window, ns)
     lo = jnp.minimum(jnp.min(support, 0), jnp.min(query, 0))
