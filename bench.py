@@ -212,7 +212,8 @@ def measure_selection_round(num_rooms=4, points=20000, budget=60):
     import dataclasses
 
     cfg = dataclasses.replace(
-        ConfigS3DIS, num_points=4096, num_classes=NUM_SYNTH_CLASSES
+        ConfigS3DIS, num_points=4096, num_classes=NUM_SYNTH_CLASSES,
+        compute_dtype="bfloat16",  # same recommended config as the pipeline
     )
     work = tempfile.mkdtemp(prefix="bench_sel_")
     try:
