@@ -207,6 +207,12 @@ def main():
                 diversity="gcn_fps")),
         ]
         wanted = [c for c in args.configs.split(",") if c]
+        unknown = set(wanted) - {name for name, _ in all_configs}
+        if unknown:
+            raise SystemExit(
+                f"unknown --configs {sorted(unknown)}; "
+                f"choose from {[name for name, _ in all_configs]}"
+            )
         configs = [c for c in all_configs if not wanted or c[0] in wanted]
         curves = {}
         for tag, kind in configs:

@@ -47,6 +47,11 @@ def main():
                 samplers.append(r["sampler"])
             rounds.add(r["round"])
     rounds = sorted(rounds)
+    if not by:
+        raise SystemExit(
+            f"no ablation records loaded from {args.inputs} — check the "
+            f"paths point at ablation.py JSONL logs with 'round' events"
+        )
     trials = max(len(v) for v in by.values())
 
     def mean(xs):

@@ -6,9 +6,15 @@ sequential budget accounting over at most `sp_batch_size` small regions per
 round — so it stays on the host; the expensive per-region statistics it
 consumes (uncertainty ordering, predicted classes) are produced on device.
 
-Invariants (property-tested in tests/test_oracle.py):
-  - budget["click"] never goes negative and decrements once per paid
-    interaction (superpoint click, or sub-region confirmation in NAIL)
+Invariants (tested in tests/test_active.py, incl. the reference-parity
+suite in tests/test_reference_parity.py):
+  - budget["click"] decrements once per paid interaction (superpoint click,
+    or sub-region confirmation in NAIL). The top-of-loop guard only checks
+    budget > 0 BEFORE a superpoint is processed, so in NAIL mode the budget
+    CAN overshoot past zero inside a single superpoint's sub-region split —
+    exactly as the reference does (sampler2.py:167-180 decrements per
+    confirmed sub-region with no guard). Overshoot is bounded by one
+    superpoint's sub-region count.
   - pseudo-gt activation is monotone non-decreasing
   - a labeled region's pseudo-labels are constant = its dominant GT label
 """

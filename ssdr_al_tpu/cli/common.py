@@ -56,8 +56,9 @@ def add_common_args(p: argparse.ArgumentParser):
                         "agreement vs float32 on 40960-pt blocks)")
     p.add_argument("--search_window", type=int, default=0,
                    help="morton search window for big pyramid layers "
-                        "(0 = config default 4096; multiple of 512, <= 4096;"
-                        " speed/recall knob — see Config.search_window)")
+                        "(0 = config default 4096; multiple of 512 in "
+                        "[1024, 4096]; speed/recall knob — see "
+                        "Config.search_window)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel chips (batch_size must be divisible)")
 
@@ -107,7 +108,16 @@ def setup_experiment(args) -> Experiment:
     if getattr(args, "compute_dtype", ""):
         overrides["compute_dtype"] = args.compute_dtype
     if getattr(args, "search_window", 0):
-        overrides["search_window"] = args.search_window
+        sw = args.search_window
+        # mid pyramid layers search at sw//2 − (_GATHER_TQ−256) (randlanet
+        # build_pyramid): sw=512 would make that 0 and crash the Pallas
+        # window kernel grid; sw must also keep 512-aligned merged windows
+        if sw % 512 or not (1024 <= sw <= 4096):
+            raise ValueError(
+                f"--search_window {sw} invalid: must be a multiple of 512 "
+                f"in [1024, 4096]"
+            )
+        overrides["search_window"] = sw
     cfg = dataclasses.replace(cfg, **overrides)
 
     ds_dir = os.path.join(args.data_root, args.dataset)

@@ -89,17 +89,20 @@ def gather_neighbour_fast(pc, neighbor_idx, starts, window: int):
     sorted-space window invariant holds (starts per gather tile from the
     KNN search; see ops/gather.py) AND the cost model favors it: the kernel
     pays ~W·C_pad·2 FLOP per gathered row (~40-80 TF/s) vs XLA's flat
-    ~12 ns/row, so it wins iff W·C_pad ≲ 480k (e.g. S3DIS L0 both-gather
-    4096·16=66k → 2.3× win; Semantic3D's 4096-pt layer at C=144 → 590k,
-    a wash — stay on XLA). Values round to bf16 in the kernel."""
+    ~12 ns/row, so it wins iff W·C_pad ≲ KERNEL_MAX_WC (shared measured
+    crossover, ops/gather.py; e.g. S3DIS L0 both-gather 4096·16=66k →
+    2.3× win; Semantic3D's 4096-pt layer at C=144 → 590k, a wash — stay
+    on XLA). Values round to bf16 in the kernel."""
     if starts is None:
         return gather_neighbour(pc, neighbor_idx)
-    from ssdr_al_tpu.ops.gather import gather_window, pad_channels
+    from ssdr_al_tpu.ops.gather import (
+        KERNEL_MAX_WC, gather_window, pad_channels,
+    )
 
     c = pc.shape[-1]
     k = neighbor_idx.shape[-1]
     pc_pad, _ = pad_channels(pc, k=k)
-    if window * pc_pad.shape[-1] > 480_000:
+    if window * pc_pad.shape[-1] > KERNEL_MAX_WC:
         return gather_neighbour(pc, neighbor_idx)
     out = gather_window(pc_pad, neighbor_idx, starts, window, _GATHER_TQ)
     return out[..., :c]
@@ -135,17 +138,19 @@ def random_sample(feature, pool_idx, window: int = 0):
     derived from the indices themselves (ops/gather.gather_window_auto).
 
     Engine choice is a measured cost model: the kernel pays W·C_pad·2 MXU
-    FLOPs per gathered row (~80 TFLOP/s achieved) vs XLA's flat ~12 ns/row,
-    so the kernel wins iff W·C_pad ≲ 480k; gate at 300k for margin
-    (measured: pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1
+    FLOPs per gathered row (~80 TFLOP/s achieved) vs XLA's flat ~12 ns/row;
+    gate at the shared KERNEL_MAX_WC crossover (ops/gather.py; measured:
+    pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1
     W=4352·C=128 → 3.3 vs 3.0 ms XLA win)."""
     n, (n_sub, k) = feature.shape[1], pool_idx.shape[1:]
     if window and n % 128 == 0 and n_sub % 128 == 0:
-        from ssdr_al_tpu.ops.gather import gather_window_auto, pad_channels
+        from ssdr_al_tpu.ops.gather import (
+            KERNEL_MAX_WC, gather_window_auto, pad_channels,
+        )
 
         f_pad, c = pad_channels(feature, k=k)
         w_pool = min(window + 2048, n)
-        if w_pool * f_pad.shape[-1] <= 300_000:
+        if w_pool * f_pad.shape[-1] <= KERNEL_MAX_WC:
             pooled = gather_window_auto(f_pad, pool_idx, w_pool)
             return jnp.max(pooled[..., :c], axis=2).astype(feature.dtype)
     pooled = gather_neighbour(feature, pool_idx)

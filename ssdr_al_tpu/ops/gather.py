@@ -31,11 +31,26 @@ element on the VMEM stack and OOMs).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Kernel-vs-XLA crossover, shared by every call site (LFA gathers in
+# models.randlanet.gather_neighbour_fast AND pool gathers in random_sample):
+# the one-hot kernel pays ~W·C_pad·2 FLOP per gathered row at ~40-80 TF/s vs
+# XLA's flat ~12 ns/row, so the kernel wins iff W·C_pad ≲ 300k (measured:
+# pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1 W=4352·C=128 →
+# 3.3 vs 3.0 ms XLA win; Semantic3D LFA W=4096·C=144=590k a wash).
+KERNEL_MAX_WC = 300_000
+
+# SSDR_DEBUG_WINDOW_GUARD=1 makes gather_window_auto report clamped indices
+# at runtime (jax.debug.print inside jit) instead of clamping silently —
+# the spread invariant becomes observable in production, not just in
+# tests/bench (window_violations).
+DEBUG_WINDOW_GUARD = os.environ.get("SSDR_DEBUG_WINDOW_GUARD", "") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -291,6 +306,16 @@ def gather_window_auto(values, idx, window: int, tq: int = 128):
     starts = tile_min_starts(idx, n, window, tq)
     lo = jnp.repeat(starts, tq, axis=1)[..., None]
     idx_c = jnp.clip(idx, lo, lo + (window - 1))
+    if DEBUG_WINDOW_GUARD:
+        bad = jnp.sum(idx_c != idx)
+        jax.lax.cond(
+            bad > 0,
+            lambda: jax.debug.print(
+                "gather_window_auto: {} indices clamped (window={} too "
+                "narrow for this tile spread — results use wrong neighbors)",
+                bad, window),
+            lambda: None,
+        )
     return gather_window(values, idx_c, starts, window, tq)
 
 

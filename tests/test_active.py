@@ -166,6 +166,26 @@ class TestOracle:
         assert (pseudo[0] == 1).all()
         np.testing.assert_array_equal(pseudo[1], gt)
 
+    def test_nail_budget_overshoots_inside_split(self, rng):
+        """The click budget CAN go negative inside a NAIL sub-region split:
+        the budget>0 guard runs per superpoint, and each confirmed sub-region
+        decrements unguarded — exactly the reference's semantics
+        (sampler2.py:167-180). Pinned so nobody 'fixes' it into divergence."""
+        components = [np.arange(90)]
+        gt = np.array([0] * 30 + [1] * 30 + [2] * 30)  # dominance 1/3 < 0.9
+        prob_class = gt.copy()  # three pure sub-regions
+        pseudo = np.zeros((2, 90), np.float32)
+        stats = RoundStats()
+        budget = {"click": 1}
+        oracle_labeling(
+            [0], components, gt, pseudo, stats, "NAIL",
+            prob_class, 0.9, budget, 1, [],
+        )
+        # 1 click for the superpoint, then 3 unguarded sub-region clicks
+        assert budget["click"] == 1 - 1 - 3 == -3
+        assert stats.sub_num == 3 and stats.split_sp_num == 1
+        assert (pseudo[0] == 1).all()
+
     def test_nail_ignores_hopeless_region(self, rng):
         # impure gt AND predictions disagree with gt groups → no pure subregion
         components = [np.arange(60)]

@@ -219,6 +219,42 @@ class TestOracleParity:
         assert stats.split_sp_num == ref_w["split_sp_num"]
 
 
+    def test_nail_budget_overshoot_matches_reference(self, sampler2):
+        """Deterministic overshoot case: budget=1, one impure superpoint whose
+        NAIL split confirms 3 pure sub-regions. The reference decrements the
+        budget past zero (sampler2.py:167-180); ours must land on the SAME
+        negative value."""
+        from ssdr_al_tpu.active.oracle import oracle_labeling
+        from ssdr_al_tpu.active.state import RoundStats
+
+        n = 90
+        components = [np.arange(n)]
+        input_gt = np.array([0] * 30 + [1] * 30 + [2] * 30)
+        prob_class = input_gt.copy()
+
+        ref_pg = np.zeros((2, n), np.float32)
+        ref_budget = {"click": 1}
+        ref_w = {k: 0 for k in ("sp_num", "p_num", "sub_num", "sub_p_num",
+                                "ignore_sp_num", "split_sp_num")}
+        ref_total = {"selected_class_list": []}
+        ref_pg, _ = sampler2["oracle_labeling"](
+            [0], components, input_gt, ref_pg, "cloud", ref_w,
+            ["NAIL"], prob_class, 0.9, ref_budget, 1, ref_total,
+        )
+
+        pg = np.zeros((2, n), np.float32)
+        budget = {"click": 1}
+        stats = RoundStats()
+        pg, _ = oracle_labeling(
+            [0], components, input_gt, pg, stats, "NAIL",
+            prob_class, 0.9, budget, 1, [],
+        )
+        assert ref_budget["click"] == -3  # the reference DOES overshoot
+        assert budget["click"] == ref_budget["click"]
+        assert stats.sub_num == ref_w["sub_num"] == 3
+        np.testing.assert_array_equal(pg, ref_pg)
+
+
 # --------------------------------------------------------------------------
 # sampler2.py — edcd FPS over superpoints (ED² + chamfer)
 # --------------------------------------------------------------------------
