@@ -191,66 +191,351 @@ def measure_reference_tfmap(batch_size: int = 1):
     return batch_size * cfg.num_points / dt
 
 
-def measure_selection_round(num_rooms=4, points=20000, budget=60):
+def _build_selection_workload(work, num_rooms, points, *, fast_partition=False,
+                              target_sp=256, seed_div=20):
+    """Clouds + superpoints + registry + seed labeling under `work`.
+
+    fast_partition uses the O(N) voxel partitioner (grid_superpoints) so
+    cloud-COUNT-scale benchmarks don't pay cut-pursuit setup; the default
+    runs the real partition stack (geof + L0 cut-pursuit)."""
+    from ssdr_al_tpu.active.samplers import SeedSampler
+    from ssdr_al_tpu.active.state import ALState, RoundStats
+    from ssdr_al_tpu.data.synthetic import grid_superpoints, make_dataset
+
+    train, _ = make_dataset(num_train=num_rooms, num_points=points)
+    state = ALState(work, ["t0", "sb", "clsbal", "gcn_fps", "WetSU",
+                           "NAIL", "0.9", "1", "1", "0"])
+    if fast_partition:
+        total_obj = {"unlabeled": {}}
+        sp_num = point_num = 0
+        for c in train:
+            comps, in_comp = grid_superpoints(c.xyz, target_sp)
+            state.write_superpoints(c.name, comps, in_comp, c.num_points)
+            total_obj["unlabeled"][c.name] = np.arange(len(comps))
+            sp_num += len(comps)
+            point_num += c.num_points
+        total_obj.update(file_num=len(train), sp_num=sp_num,
+                         point_num=point_num)
+        state.write_registry(total_obj)
+    else:
+        from ssdr_al_tpu.partition.superpoint import compute_superpoints
+
+        compute_superpoints(train, state, 0.03, log=lambda *a: None)
+    total = state.load_registry()
+    # the seed round lives under its own sampler-args dir, as in the CLI
+    seed_state = ALState(work, ["seed"])
+    seeder = SeedSampler(seed_state, train, total["sp_num"])
+    seeder.sampling(max(1, total["sp_num"] // seed_div), 0, RoundStats())
+    return train, state, total
+
+
+def _make_selection_sampler(train, state, total, points_per_chunk=4096):
+    import dataclasses
+
+    import jax
+
+    from ssdr_al_tpu.active.samplers import TSampler, TSamplerArgs
+    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.data.synthetic import NUM_SYNTH_CLASSES
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+
+    cfg = dataclasses.replace(
+        ConfigS3DIS, num_points=points_per_chunk,
+        num_classes=NUM_SYNTH_CLASSES,
+        compute_dtype="bfloat16",  # same recommended config as the pipeline
+    )
+    model = RandLANet(cfg)
+    rng = np.random.RandomState(0)
+    sample = {
+        "xyz": (rng.rand(1, cfg.num_points, 3) * 6).astype(np.float32),
+        "features": rng.rand(1, cfg.num_points, 6).astype(np.float32),
+    }
+    mstate = create_train_state(model, cfg, jax.random.PRNGKey(0), sample, 500)
+    eval_step = make_eval_step(model, cfg)
+    sampler = TSampler(
+        state, train, cfg,
+        TSamplerArgs(diversity="gcn_fps", oracle_mode="NAIL",
+                     class_balance="clsbal"),
+        total["sp_num"],
+    )
+    return sampler, eval_step, mstate
+
+
+def measure_selection_round(num_rooms=4, points=20000, budget=60,
+                            measure_reference=False):
     """BASELINE config (3): full AL selection round wall-clock — chunked
     inference over all training clouds, per-superpoint uncertainty scoring,
     FPS-GCN diversity reasoning, NAIL oracle labeling — on synthetic scenes.
 
-    Returns (wall_seconds, clouds, points)."""
+    measure_reference additionally re-executes the REFERENCE'S OWN numpy
+    selection path (AST-loaded from /root/reference) on the same clouds and
+    superpoints — see measure_reference_selection.
+
+    Returns (wall_seconds, clouds, points, phases, ref_result_or_None)."""
     import shutil
     import tempfile
 
     import jax
 
-    from ssdr_al_tpu.active.samplers import SeedSampler, TSampler, TSamplerArgs
-    from ssdr_al_tpu.active.state import ALState, RoundStats
-    from ssdr_al_tpu.config import ConfigS3DIS
-    from ssdr_al_tpu.data.synthetic import make_dataset, NUM_SYNTH_CLASSES
-    from ssdr_al_tpu.models.randlanet import RandLANet
-    from ssdr_al_tpu.partition.superpoint import compute_superpoints
-    from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
-    import dataclasses
+    from ssdr_al_tpu.active.state import RoundStats
 
-    cfg = dataclasses.replace(
-        ConfigS3DIS, num_points=4096, num_classes=NUM_SYNTH_CLASSES,
-        compute_dtype="bfloat16",  # same recommended config as the pipeline
-    )
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     work = tempfile.mkdtemp(prefix="bench_sel_")
     try:
-        train, _ = make_dataset(num_train=num_rooms, num_points=points)
-        state = ALState(work, ["t0", "sb", "clsbal", "gcn_fps", "WetSU",
-                               "NAIL", "0.9", "1", "1", "0"])
-        compute_superpoints(train, state, 0.03, log=lambda *a: None)
-        total = state.load_registry()
-        # the seed round lives under its own sampler-args dir, as in the CLI
-        seed_state = ALState(work, ["seed"])
-        seeder = SeedSampler(seed_state, train, total["sp_num"])
-        seeder.sampling(max(1, total["sp_num"] // 20), 0, RoundStats())
-
-        model = RandLANet(cfg)
-        rng = np.random.RandomState(0)
-        sample = {
-            "xyz": (rng.rand(1, cfg.num_points, 3) * 6).astype(np.float32),
-            "features": rng.rand(1, cfg.num_points, 6).astype(np.float32),
-        }
-        mstate = create_train_state(
-            model, cfg, jax.random.PRNGKey(0), sample, 500
-        )
-        eval_step = make_eval_step(model, cfg)
-        sampler = TSampler(
-            state, train, cfg,
-            TSamplerArgs(diversity="gcn_fps", oracle_mode="NAIL",
-                         class_balance="clsbal"),
-            total["sp_num"],
-        )
+        train, state, total = _build_selection_workload(work, num_rooms, points)
+        sampler, eval_step, mstate = _make_selection_sampler(train, state, total)
         # warm the compiled paths, then measure a full round
         sampler.sampling(eval_step, mstate, budget, 1, RoundStats())
         t0 = time.perf_counter()
         sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
         dt = time.perf_counter() - t0
-        return dt, num_rooms, num_rooms * points
+        phases = dict(sampler.phase_times)
+        ref = None
+        if measure_reference:
+            # same registry the measured round loaded (round_2's copy)
+            ref = measure_reference_selection(
+                work, train, state, state.round_dir(2), budget, round_num=3
+            )
+        return dt, num_rooms, num_rooms * points, phases, ref
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def measure_selection_scale(num_rooms=200, points=4096, budget=10000,
+                            target_sp=256):
+    """AL selection round at the reference's CLOUD-COUNT scale: the S3DIS
+    sampling pass covers every training cloud (~200, sampler2.py:589-598)
+    with a 10000-click budget (ssdr_main_S3DIS2.py:134). Partition setup
+    uses the O(N) voxel partitioner (excluded from the measurement — the
+    reference pays cut-pursuit offline too).
+
+    Returns (wall_seconds, phases, sp_num)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from ssdr_al_tpu.active.state import RoundStats
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    work = tempfile.mkdtemp(prefix="bench_sel200_")
+    try:
+        train, state, total = _build_selection_workload(
+            work, num_rooms, points, fast_partition=True, target_sp=target_sp
+        )
+        sampler, eval_step, mstate = _make_selection_sampler(train, state, total)
+        sampler.sampling(eval_step, mstate, budget, 1, RoundStats())
+        t0 = time.perf_counter()
+        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
+        dt = time.perf_counter() - t0
+        return dt, dict(sampler.phase_times), total["sp_num"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Reference numpy selection (AST-executed from /root/reference) — the
+# apples-to-apples baseline for the AL-round speedup north star
+# (BASELINE.md: "Reference wall-clock numbers must be measured, not cited").
+# --------------------------------------------------------------------------
+
+_REF = "/root/reference/SSDR_AL_s3dis"
+
+
+class _NumpyCompat:
+    """numpy shim for the legacy reference code (np.float/np.int removed in
+    numpy>=1.24)."""
+
+    def __init__(self):
+        self.float = float
+        self.int = int
+        self.bool = bool
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+
+def _load_ref(filename, names, ns=None):
+    """AST-extract top-level functions from a reference file and exec them
+    (same loader as tests/test_reference_parity.py — runs the reference's
+    OWN code, not a re-implementation)."""
+    import ast
+    import os
+
+    with open(os.path.join(_REF, filename)) as f:
+        tree = ast.parse(f.read())
+    wanted = [n for n in tree.body
+              if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+              and n.name in names]
+    mod = ast.Module(body=wanted, type_ignores=[])
+    ast.fix_missing_locations(mod)
+    space = {"np": _NumpyCompat(), "os": os}
+    if ns:
+        space.update(ns)
+    exec(compile(mod, os.path.join(_REF, filename), "exec"), space)
+    return space
+
+
+def measure_reference_selection(work, train, state, round_dir, budget,
+                                round_num, gcn_number=1, gcn_top=0,
+                                min_size=1):
+    """Wall-clock of the reference's numpy selection pipeline on the SAME
+    clouds/superpoints as the measured repo round: per-superpoint scoring
+    loop (sampler2.py:598-631), clsbal + argsort (:634-640), top-B/2B
+    candidates (:533-552, 697-705), class-weighted anchors (:268-311),
+    per-region feature means (:339-341), and the full GCN_FPS_sampling
+    with KDTree pairwise chamfer (fps_gcn_cpu.py:40-178).
+
+    Credited as FREE to the reference (excluded): the TF GPU forward that
+    produces prob_logits / penultimate features (random softmax probs and
+    random 32-d features are fed instead — selection wall-clock depends on
+    shapes, not values), the 6-worker DataLoader, and the oracle-labeling
+    bookkeeping. The result is therefore a LOWER bound on the reference's
+    selection round. Returns {phases..., total_s}."""
+    import os
+    import pickle
+
+    from sklearn.neighbors import KDTree
+
+    from ssdr_al_tpu.data.ply import read_ply, write_ply
+
+    sampler_args = ["sb", "clsbal", "WetSU", "gcn_fps", "NAIL"]
+    s2 = _load_ref("sampler2.py", [
+        "compute_point_uncertainty", "compute_entropy",
+        "compute_region_uncertainty", "weights_percentage",
+        "_dominant_label", "_dominant_2", "add_classbal", "add_clsbal",
+        "get_labeled_selection_cloudname_spidx_pointidx",
+    ], ns={"join": os.path.join, "pickle": pickle, "read_ply": read_ply})
+    fg = _load_ref("fps_gcn_cpu.py", [
+        "chamfer_distance", "create_cd", "fps_adj_all",
+        "farthest_features_sample", "GCN_FPS_sampling",
+    ], ns={"KDTree": KDTree, "read_ply": read_ply, "join": os.path.join,
+           "time": time, "pickle": pickle})
+
+    # ---- setup (untimed): reference-format input plys + random model output
+    input_path = os.path.join(work, "input_ref")
+    os.makedirs(input_path, exist_ok=True)
+    rng = np.random.RandomState(0)
+    probs_by, penult_by = {}, {}
+    class_num = None
+    for c in train:
+        write_ply(os.path.join(input_path, c.name + ".ply"),
+                  [c.xyz, c.labels.astype(np.int32)], ["x", "y", "z", "class"])
+        from ssdr_al_tpu.data.synthetic import NUM_SYNTH_CLASSES
+
+        class_num = NUM_SYNTH_CLASSES
+        p = rng.rand(c.num_points, class_num).astype(np.float32)
+        probs_by[c.name] = p / p.sum(1, keepdims=True)
+        penult_by[c.name] = rng.rand(c.num_points, 32).astype(np.float32)
+    with open(os.path.join(round_dir, "total.pkl"), "rb") as f:
+        total_obj = pickle.load(f)
+    total_obj.setdefault("selected_class_list", [])
+    phases = {}
+
+    # ---- phase 1: per-superpoint scoring loop (sampler2.py:598-631)
+    t0 = time.perf_counter()
+    region_uncertainty, region_class = [], []
+    unlabeled_region_reference = []
+    labeled_region_reference_dict = {}
+    for c in train:
+        name = c.name
+        prob_logits = probs_by[name]
+        prob_class = np.argmax(prob_logits, axis=-1)
+        pixel_uncertainty = s2["compute_point_uncertainty"](
+            prob_logits, sampler_args)
+        with open(os.path.join(state.superpoint_dir,
+                               name + ".superpoint"), "rb") as f:
+            sp = pickle.load(f)
+        components = sp["components"]
+        unl = total_obj["unlabeled"].get(name, ())
+        unl_set = set(int(i) for i in unl)
+        for sp_idx in range(len(components)):
+            point_ids = components[sp_idx]
+            if sp_idx in unl_set:
+                if len(point_ids) >= min_size:
+                    region_uncertainty.append(s2["compute_region_uncertainty"](
+                        pixel_uncertainty[point_ids], prob_class[point_ids],
+                        class_num, sampler_args))
+                    _, idns = s2["_dominant_2"](prob_class[point_ids])
+                    dominant_point_ids = np.array(point_ids)[idns]
+                    unlabeled_region_reference.append(
+                        {"cloud_name": name, "sp_idx": sp_idx,
+                         "dominant_point_ids": dominant_point_ids})
+                    do_label, _ = s2["_dominant_label"](prob_class[point_ids])
+                    region_class.append(do_label)
+            elif len(point_ids) >= min_size:
+                labeled_region_reference_dict.setdefault(name, []).append(sp_idx)
+    phases["scoring_s"] = time.perf_counter() - t0
+
+    # ---- phase 2: class balance + sort (sampler2.py:634-640)
+    t0 = time.perf_counter()
+    region_uncertainty = s2["add_clsbal"](
+        class_num, region_class, region_uncertainty, total_obj)
+    sorted_inds = np.argsort(-np.asarray(region_uncertainty))
+    phases["classbal_sort_s"] = time.perf_counter() - t0
+
+    # ---- phase 3: top-B / 2B candidate pools (:533-552, 697-705)
+    t0 = time.perf_counter()
+    batch_size = min(budget, len(unlabeled_region_reference))
+    file_list_top, file_list_all = {}, {}
+    for i, idx in enumerate(sorted_inds):
+        r = unlabeled_region_reference[idx]
+        name, sp_idx = r["cloud_name"], r["sp_idx"]
+        if i < batch_size:
+            file_list_top.setdefault(name, {"sp_idx_list": []})
+            file_list_top[name][sp_idx] = r["dominant_point_ids"]
+            file_list_top[name]["sp_idx_list"].append(sp_idx)
+        file_list_all.setdefault(name, {"sp_idx_list": []})
+        file_list_all[name][sp_idx] = r["dominant_point_ids"]
+        file_list_all[name]["sp_idx_list"].append(sp_idx)
+    unlabeled_candidate_regions = {}
+    sampling_batch = 0
+    for name in file_list_top:
+        sel_num = len(file_list_top[name]["sp_idx_list"])
+        sampling_batch += sel_num
+        cands = file_list_all[name]["sp_idx_list"][: 2 * sel_num]
+        unlabeled_candidate_regions[name] = {
+            sp: file_list_all[name][sp] for sp in cands}
+    phases["candidates_s"] = time.perf_counter() - t0
+
+    # ---- phase 4: class-weighted labeled anchors (:268-311)
+    t0 = time.perf_counter()
+    labeled_select_regions, _ = s2[
+        "get_labeled_selection_cloudname_spidx_pointidx"](
+        input_path, work, labeled_region_reference_dict, class_num, round_num)
+    phases["anchors_s"] = time.perf_counter() - t0
+
+    # ---- phase 5: per-region feature means (:339-341; forward excluded)
+    t0 = time.perf_counter()
+    labeled_select_features, labeled_select_ref = [], []
+    unlabeled_candidate_features, unlabeled_candidate_ref = [], []
+    for c in train:
+        name = c.name
+        feats = penult_by[name]
+        if name in labeled_select_regions:
+            for sp_idx, dom_ids in labeled_select_regions[name].items():
+                labeled_select_features.append(feats[dom_ids].mean(0))
+                labeled_select_ref.append(
+                    {"cloud_name": name, "sp_idx": sp_idx})
+        if name in unlabeled_candidate_regions:
+            for sp_idx, dom_ids in unlabeled_candidate_regions[name].items():
+                unlabeled_candidate_features.append(feats[dom_ids].mean(0))
+                unlabeled_candidate_ref.append(
+                    {"cloud_name": name, "sp_idx": sp_idx})
+    phases["features_s"] = time.perf_counter() - t0
+
+    # ---- phase 6: GCN-FPS diversity (fps_gcn_cpu.py:150-178, end-to-end)
+    t0 = time.perf_counter()
+    fg["GCN_FPS_sampling"](
+        labeled_select_features, labeled_select_ref,
+        unlabeled_candidate_features, unlabeled_candidate_ref,
+        input_path, work, sampling_batch, gcn_number, gcn_top)
+    phases["gcn_fps_s"] = time.perf_counter() - t0
+
+    phases["total_s"] = sum(phases.values())
+    phases["regions_scored"] = len(unlabeled_region_reference)
+    return phases
 
 
 def main():
@@ -258,18 +543,32 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="pipeline",
-                   choices=["pipeline", "selection"])
+                   choices=["pipeline", "selection", "selection_scale"])
     p.add_argument("--skip_selection", action="store_true",
                    help="omit the AL selection-round extra (saves ~1 min)")
     args = p.parse_args()
 
     if args.config == "selection":
-        dt, clouds, pts = measure_selection_round()
+        dt, clouds, pts, phases, ref = measure_selection_round(
+            measure_reference=True)
         result = {
             "metric": "al_selection_round_wall_clock",
             "value": round(dt, 2),
             "unit": f"s ({clouds} clouds, {pts} points)",
-            "vs_baseline": 0.0,  # reference wall-clock not measurable here
+            "vs_baseline": round(ref["total_s"] / dt, 2),
+            "extras": {"phases": phases, "reference_numpy": ref},
+        }
+        print(json.dumps(result))
+        return
+
+    if args.config == "selection_scale":
+        dt, phases, sp_num = measure_selection_scale()
+        result = {
+            "metric": "al_selection_round_200cloud_wall_clock",
+            "value": round(dt, 2),
+            "unit": f"s (200 clouds, {sp_num} superpoints, 10000 clicks)",
+            "vs_baseline": 0.0,
+            "extras": {"phases": phases},
         }
         print(json.dumps(result))
         return
@@ -287,7 +586,22 @@ def main():
     # the second dataset family's forward on the same fast path
     sem3d_pps = measure_tpu(4, iters=6, dataset="Semantic3D")
 
+    # TPU kernel-parity + production-recall gate suite: pass/fail is part of
+    # the bench record (VERDICT r2 #5 — regressions fail a test, not a human)
+    import os
+    import subprocess
+
+    env = dict(os.environ, SSDR_TEST_TPU="1")
+    gate = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         "tests/test_knn.py::TestKnnPallas",
+         "tests/test_knn.py::TestSortedFastPath",
+         "tests/test_tpu_gates.py::TestWindowRecallProduction"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
     extras = {
+        "tpu_gate_suite": "passed" if gate.returncode == 0 else
+                          "FAILED: " + gate.stdout.splitlines()[-1][:200],
         "semantic3d_block_pipeline_points_per_sec_per_chip": round(
             sem3d_pps, 1),
         "train_step_points_per_sec_per_chip": round(train_pps, 1),
@@ -297,9 +611,24 @@ def main():
         "knn_window_recall_at_16_model_w3840": round(recall_model, 4),
     }
     if not args.skip_selection:
-        dt, clouds, pts = measure_selection_round()
+        dt, clouds, pts, phases, ref = measure_selection_round(
+            measure_reference=True)
         extras["al_selection_round_s"] = round(dt, 2)
         extras["al_selection_round_workload"] = f"{clouds} clouds, {pts} points"
+        # the reference's OWN numpy selection (AST-executed, same clouds and
+        # superpoints; its GPU forward + DataLoader credited as free) — the
+        # north-star AL-round comparison, measured not cited (BASELINE.md)
+        extras["reference_numpy_selection_s"] = round(ref["total_s"], 2)
+        extras["selection_speedup_vs_reference_numpy"] = round(
+            ref["total_s"] / dt, 2)
+        # selection at the reference's cloud-count scale (~200 S3DIS training
+        # clouds, 10000-click budget, ssdr_main_S3DIS2.py:134)
+        dt200, phases200, sp200 = measure_selection_scale()
+        extras["al_selection_round_200cloud_s"] = round(dt200, 2)
+        extras["al_selection_round_200cloud_workload"] = (
+            f"200 clouds x 4096 pts, {sp200} superpoints, 10000 clicks")
+        extras["al_selection_round_200cloud_phases"] = {
+            k: round(v, 2) for k, v in phases200.items()}
     result = {
         "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
         "value": round(tpu_pps, 1),

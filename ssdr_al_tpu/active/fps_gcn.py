@@ -97,9 +97,18 @@ def gcn_fps_sampling(
     unl_idx = np.where(unlabeled_flags)[0]
     sampling_batch = min(sampling_batch, len(unl_idx))
     start = rng.randint(0, len(unl_idx))
+    # bucket the candidate count to 256s (masked pad rows are never
+    # selected) so the FPS loop compiles once per bucket, not per round
+    m = len(unl_idx)
+    m_pad = -(-m // 256) * 256
+    feats_sel = np.zeros((m_pad, combined_flat.shape[1]), np.float32)
+    feats_sel[:m] = combined_flat[unl_idx]
+    valid = np.zeros(m_pad, bool)
+    valid[:m] = True
     sel = np.asarray(
         farthest_feature_sample(
-            jnp.asarray(combined_flat[unl_idx]), int(start), int(sampling_batch)
+            jnp.asarray(feats_sel), int(start), int(sampling_batch),
+            jnp.asarray(valid),
         )
     )
     file_list: Dict[str, List[int]] = {}

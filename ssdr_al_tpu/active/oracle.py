@@ -44,6 +44,47 @@ def dominant_point_ids(point_ids: np.ndarray, labels: np.ndarray):
     return label, point_ids[labels == label]
 
 
+def dominant_point_ids_all(in_component, num_superpoints, labels, dominant):
+    """Vectorized `dominant_point_ids` over ALL superpoints of a cloud.
+
+    Kills the reference's hot per-superpoint scoring loop
+    (sampler2.py:612-631): instead of one bincount + boolean mask per
+    region, one O(N) pass builds every region's dominant-label point-id
+    list at once.
+
+    in_component [N] int32 segment map; labels [N] int (predicted or GT
+    classes); dominant [S] the per-superpoint dominant label (from
+    ops.segment.segment_majority on device, or a host histogram).
+    Returns a list of S int64 arrays — identical to
+    dominant_point_ids(components[s], labels[components[s]])[1] per s,
+    given components[s] ascending (as partition/cp.py:84-86 writes them).
+    """
+    in_component = np.asarray(in_component)
+    labels = np.asarray(labels)
+    dominant = np.asarray(dominant)
+    mask = labels == dominant[in_component]
+    ids = np.flatnonzero(mask)
+    seg = in_component[ids]
+    order = np.argsort(seg, kind="stable")  # group by region, ids ascending
+    ids = ids[order].astype(np.int64)
+    counts = np.bincount(seg, minlength=num_superpoints)
+    return np.split(ids, np.cumsum(counts[:num_superpoints])[:-1])
+
+
+def gt_dominant_all(in_component, num_superpoints, labels, num_classes):
+    """Per-superpoint dominant GT label (host, vectorized): one flat
+    bincount over combined (segment, class) keys instead of a Python loop.
+    Ties break to the lowest class id, matching _dominant_label's np.argmax
+    (sampler2.py:102-106). Returns [S] int64."""
+    in_component = np.asarray(in_component, np.int64)
+    labels = np.asarray(labels, np.int64)
+    hist = np.bincount(
+        in_component * num_classes + labels,
+        minlength=num_superpoints * num_classes,
+    ).reshape(num_superpoints, num_classes)
+    return hist.argmax(axis=1)
+
+
 def sub_regions_by_predicted_class(prob_class, point_inds):
     """Split a superpoint by predicted class; sampler2.py:117-122."""
     point_inds = np.asarray(point_inds)

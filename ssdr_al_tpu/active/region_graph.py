@@ -78,8 +78,12 @@ def build_region_graph(
     """
     refs: List[RegionRef] = []
     cloud_names = sorted(regions_by_cloud)
-    s_max = max(len(v) for v in regions_by_cloud.values())
-    c = len(cloud_names)
+    # shape-bucket every jitted operand (region count per block → 16s,
+    # padded superpoint size → 64s, block count → 8s): candidate/anchor
+    # counts drift round to round, and unbucketed shapes would recompile
+    # the chamfer/adjacency/propagate programs every AL round
+    s_max = -(-max(len(v) for v in regions_by_cloud.values()) // 16) * 16
+    c = -(-len(cloud_names) // 8) * 8
     ed_cd = np.zeros((c, s_max, s_max), np.float32)
     mask = np.zeros((c, s_max), bool)
     block_of, slot_of = [], []
@@ -93,12 +97,17 @@ def build_region_graph(
         # chamfer on device over padded superpoints; bound the live distance
         # block (row_chunk · P · S · P · 4B) to ~256 MB
         pts, msk = pad_superpoints(sp_points, max_points=max_points_per_sp)
-        s_pad, p_pad = msk.shape
+        s_pad = -(-msk.shape[0] // 16) * 16
+        p_pad = -(-msk.shape[1] // 64) * 64
+        pts = np.pad(pts, ((0, s_pad - msk.shape[0]),
+                           (0, p_pad - msk.shape[1]), (0, 0)))
+        msk = np.pad(msk, ((0, s_pad - msk.shape[0]),
+                           (0, p_pad - msk.shape[1])))
         budget = 256 * 1024 * 1024 // 4
         row_chunk = max(1, min(8, budget // max(p_pad * s_pad * p_pad, 1)))
         cd = np.asarray(
             chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk), row_chunk)
-        )
+        )[: len(regs), : len(regs)]
         diff = centroids[:, None, :] - centroids[None, :, :]
         ed = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
         s = len(regs)

@@ -11,6 +11,7 @@ the sequential click-budget bookkeeping stays in host Python.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List
 
 import jax
@@ -20,8 +21,8 @@ import numpy as np
 from ssdr_al_tpu.active.fps_gcn import gcn_fps_sampling
 from ssdr_al_tpu.active.gcn import gcn_sampling
 from ssdr_al_tpu.active.oracle import (
-    dominant_label,
-    dominant_point_ids,
+    dominant_point_ids_all,
+    gt_dominant_all,
     oracle_labeling,
     seed_labeling,
 )
@@ -38,7 +39,18 @@ from ssdr_al_tpu.data.cloud import Cloud
 from ssdr_al_tpu.data.dataset import SamplingPipeline
 from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
 from ssdr_al_tpu.ops.fps import farthest_superpoint_sample
+from ssdr_al_tpu.ops.segment import segment_majority
 from ssdr_al_tpu.active.region_graph import bbox_center
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _score_regions_device(unc, cls, seg, num_segments, num_classes, mode):
+    """Fused per-superpoint scoring: region uncertainty + dominant predicted
+    class, one device call per cloud (replaces the reference's per-superpoint
+    numpy loop, sampler2.py:612-631)."""
+    runc = region_uncertainty(unc, cls, seg, num_segments, num_classes, mode)
+    dom, _ = segment_majority(cls, seg, num_segments, num_classes)
+    return runc, dom
 
 
 # --------------------------------------------------------------------------
@@ -305,6 +317,8 @@ class TSampler:
         self.total_num = total_num
         self.rng = np.random.RandomState(seed)
         self.mesh = mesh  # optional Mesh: selection inference is data-parallel
+        self._gt_dom_cache: Dict[str, tuple] = {}
+        self.phase_times: Dict[str, float] = {}
 
     # -------------------------------------------------------- prediction ---
     def prediction(self, eval_step, model_state, total_obj, round_num,
@@ -317,8 +331,8 @@ class TSampler:
             a.point_uncertainty_mode, seed=self.rng.randint(1 << 31),
             mesh=self.mesh,
         )
-        region_unc: List[float] = []
-        region_class: List[int] = []
+        unc_parts: List[np.ndarray] = []
+        cls_parts: List[np.ndarray] = []
         unlabeled_refs: List[RegionRef] = []
         labeled_by_cloud: Dict[str, List[int]] = {}
         inference: Dict[str, CloudInference] = {}
@@ -329,29 +343,34 @@ class TSampler:
             inference[name] = inf
             sp = self.state.load_superpoints(name)
             s = sp.num_superpoints
-            seg = jnp.asarray(sp.in_component)
-            runc = np.asarray(region_uncertainty(
-                jnp.asarray(inf.uncertainty), jnp.asarray(inf.prob_class),
-                seg, s, self.cfg.num_classes, a.uncertainty_mode,
-            ))
-            unl_set = set(total_obj["unlabeled"].get(name, ()))
-            for sp_idx in range(s):
-                pids = sp.components[sp_idx]
-                if len(pids) < a.min_size:
-                    continue
-                if sp_idx in unl_set:
-                    do_label, dom_ids = dominant_point_ids(
-                        pids, inf.prob_class[pids]
-                    )
-                    region_unc.append(float(runc[sp_idx]))
-                    region_class.append(do_label)
-                    unlabeled_refs.append(
-                        RegionRef(name, sp_idx, False, dom_ids)
-                    )
-                else:
-                    labeled_by_cloud.setdefault(name, []).append(sp_idx)
+            runc, dom = self._score_cloud(inf, sp, s, a.uncertainty_mode)
+            # one O(N) pass builds every region's dominant-pred id list —
+            # the per-superpoint bincount loop this replaces was the
+            # reference's selection hot loop (sampler2.py:612-631)
+            dom_ids = dominant_point_ids_all(
+                sp.in_component, s, inf.prob_class, dom
+            )
+            keep = sp.sizes >= a.min_size
+            unl_mask = np.zeros(s, bool)
+            unl_list = np.asarray(
+                list(total_obj["unlabeled"].get(name, [])), np.int64
+            )
+            if unl_list.size:
+                unl_mask[unl_list] = True
+            unl_keep = np.flatnonzero(keep & unl_mask)
+            lab_keep = np.flatnonzero(keep & ~unl_mask)
+            unc_parts.append(runc[unl_keep])
+            cls_parts.append(dom[unl_keep])
+            unlabeled_refs.extend(
+                RegionRef(name, int(i), False, dom_ids[i]) for i in unl_keep
+            )
+            if lab_keep.size:
+                labeled_by_cloud[name] = [int(i) for i in lab_keep]
 
-        region_unc = np.asarray(region_unc)
+        region_unc = (np.concatenate(unc_parts)
+                      if unc_parts else np.zeros(0, np.float32))
+        region_class = (np.concatenate(cls_parts).astype(np.int64)
+                        if cls_parts else np.zeros(0, np.int64))
         if a.class_balance == "classbal":
             region_unc = add_classbal(self.cfg.num_classes, region_class, region_unc)
         elif a.class_balance == "clsbal":
@@ -362,25 +381,65 @@ class TSampler:
         sorted_inds = np.argsort(-region_unc)
         return unlabeled_refs, sorted_inds, inference, labeled_by_cloud
 
+    def _score_cloud(self, inf: CloudInference, sp, s: int, mode: str):
+        """Device scoring for one cloud, shape-bucketed (N to 16384s, S to
+        512s with a reserved padding segment) so a 200-cloud sweep with
+        ragged cloud/superpoint counts reuses a handful of compiled
+        programs instead of recompiling per cloud."""
+        n = sp.in_component.shape[0]
+        n_pad = -(-n // 16384) * 16384
+        s_pad = -(-(s + 1) // 512) * 512   # id s_pad-1 reserved for padding
+        unc = np.zeros(n_pad, np.float32)
+        unc[:n] = inf.uncertainty
+        cls = np.zeros(n_pad, np.int32)
+        cls[:n] = inf.prob_class
+        seg = np.full(n_pad, s_pad - 1, np.int32)
+        seg[:n] = sp.in_component
+        runc, dom = _score_regions_device(
+            jnp.asarray(unc), jnp.asarray(cls), jnp.asarray(seg),
+            s_pad, self.cfg.num_classes, mode,
+        )
+        return np.asarray(runc)[:s], np.asarray(dom)[:s]
+
     # ------------------------------------------------------------ anchors ---
+    def _gt_dominant(self, name):
+        """Per-cloud GT dominant labels + dominant point ids, vectorized and
+        cached across rounds (GT never changes — the reference recomputes
+        them per round per superpoint, sampler2.py:283-297)."""
+        hit = self._gt_dom_cache.get(name)
+        if hit is None:
+            sp = self.state.load_superpoints(name)
+            labels = self.cloud_by_name[name].labels
+            s = sp.num_superpoints
+            dom = gt_dominant_all(
+                sp.in_component, s, labels, self.cfg.num_classes
+            )
+            dom_ids = dominant_point_ids_all(
+                sp.in_component, s, labels, dom
+            )
+            hit = (dom, dom_ids)
+            self._gt_dom_cache[name] = hit
+        return hit
+
     def select_labeled_anchors(self, labeled_by_cloud, round_num):
         """Class-weighted random anchor sample of labeled superpoints,
         capped at (round_num−1)·1000 (sampler2.py:268-311)."""
         dominant_labels = []
         refs = []
         for name, sp_list in labeled_by_cloud.items():
-            sp = self.state.load_superpoints(name)
-            labels = self.cloud_by_name[name].labels
-            for sp_idx in sp_list:
-                pids = sp.components[sp_idx]
-                dl, dom_ids = dominant_point_ids(pids, labels[pids])
-                dominant_labels.append(dl)
-                refs.append(RegionRef(name, sp_idx, True, dom_ids))
+            dom, dom_ids = self._gt_dominant(name)
+            arr = np.asarray(sp_list, np.int64)
+            dominant_labels.append(dom[arr])
+            refs.extend(
+                RegionRef(name, int(i), True, dom_ids[i]) for i in arr
+            )
         if not refs:
             return []
         from ssdr_al_tpu.active.uncertainty import _class_frequency_weights
 
-        w = _class_frequency_weights(dominant_labels, self.cfg.num_classes)
+        w = _class_frequency_weights(
+            np.concatenate(dominant_labels), self.cfg.num_classes
+        )
         p = w / w.sum()
         batch = min((round_num - 1) * 1000, len(refs))
         sel = self.rng.choice(len(refs), batch, replace=False, p=p)
@@ -389,20 +448,27 @@ class TSampler:
     # ----------------------------------------------------------- sampling ---
     def sampling(self, eval_step, model_state, batch_size, last_round,
                  stats: RoundStats):
+        import time
+
         a = self.args
         budget = {"click": batch_size}
         round_dir = self.state.begin_round(last_round, from_seed_round=True)
         total_obj = self.state.load_registry(round_dir)
         round_num = last_round + 1
 
+        t0 = time.perf_counter()
         unl_refs, sorted_inds, inference, labeled_by_cloud = self.prediction(
             eval_step, model_state, total_obj, round_num, stats
         )
+        # per-phase wall-clock, for costTime-style logs and the selection
+        # profile (the reference logs per-phase times, sampler2.py:677-681)
+        self.phase_times = {"prediction_s": time.perf_counter() - t0}
         # the candidate-list size is capped by the number of scored regions,
         # but the click budget keeps its original value (sampler2.py:645-646
         # creates budget BEFORE the cap at :671-672)
         batch_size = min(batch_size, len(unl_refs))
 
+        t0 = time.perf_counter()
         if a.diversity == "edcd":
             file_list = self._edcd_selection(unl_refs, sorted_inds, batch_size, stats)
         elif a.diversity in ("gcn", "gcn_fps"):
@@ -415,7 +481,9 @@ class TSampler:
             for i in sorted_inds[:batch_size]:
                 r = unl_refs[i]
                 file_list.setdefault(r.cloud_name, []).append(r.sp_idx)
+        self.phase_times["diversity_s"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         self._record_selection_stats(file_list, total_obj, stats)
         for name, sp_inds in file_list.items():
             sp = self.state.load_superpoints(name)
@@ -429,6 +497,7 @@ class TSampler:
             self.state.write_pseudo_gt(round_dir, name, pseudo_gt)
             self.state.mark_labeled(total_obj, name, used)
         self.state.write_registry(total_obj, round_dir)
+        self.phase_times["oracle_s"] = time.perf_counter() - t0
 
     # ------------------------------------------------------------ branches ---
     def _top_candidates(self, unl_refs, sorted_inds, batch_size):

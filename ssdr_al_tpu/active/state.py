@@ -61,10 +61,20 @@ class Superpoints:
 
     components: List[np.ndarray]   # ragged: per-superpoint point indices
     in_component: np.ndarray       # [N] int32 segment id per point
+    _sizes: Optional[np.ndarray] = None
 
     @property
     def num_superpoints(self) -> int:
         return len(self.components)
+
+    @property
+    def sizes(self) -> np.ndarray:
+        """Points per superpoint, [S] int64 (cached)."""
+        if self._sizes is None:
+            self._sizes = np.bincount(
+                self.in_component, minlength=self.num_superpoints
+            )
+        return self._sizes
 
 
 class ALState:

@@ -99,6 +99,7 @@ def run_al_loop(args):
     sp_batch_size = args.sp_batch_size or exp.cfg.sp_batch_size
     last = args.rounds if args.rounds else exp.cfg.al_rounds[1]
 
+    results = []
     for r in range(args.round, last + 1):
         trainer.restore_model(r - 1)
         t0 = time.time()
@@ -129,7 +130,9 @@ def run_al_loop(args):
             f"costTime={time.time() - t0:.1f}",
             record,
         )
+        results.append((miou, oa))
     record.close()
+    return results
 
 
 def main(argv=None):

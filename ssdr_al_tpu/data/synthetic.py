@@ -174,3 +174,43 @@ def make_dataset(num_train=4, num_val=1, num_points=20000, seed=0,
 def synth_class_weights() -> np.ndarray:
     """Flat inverse-frequency weights for the synthetic label space."""
     return np.ones(NUM_SYNTH_CLASSES, np.float32)
+
+
+def grid_superpoints(xyz, target_sp: int = 256):
+    """O(N) voxel partition: superpoints = occupied voxels of a grid sized
+    (by bisection on the voxel edge) to land near `target_sp` regions.
+
+    NOT a replacement for cut-pursuit (partition/superpoint.py): selection-
+    phase cost is independent of how regions were produced, so cloud-count-
+    scale selection benchmarks (200+ clouds, reference S3DIS cloud-count
+    parity — sampler2.py:589-598 covers every training cloud) use this to
+    keep partition setup out of the measurement.
+
+    Returns (components, in_component) with components ascending per region
+    (same contract as partition/cp.py:84-87)."""
+    xyz = np.asarray(xyz)
+    lo = xyz.min(axis=0)
+    span = float(np.maximum(xyz.max(axis=0) - lo, 1e-6).max())
+
+    def part(v):
+        q = np.floor((xyz - lo) / v).astype(np.int64)
+        dims = q.max(axis=0) + 1
+        key = (q[:, 0] * dims[1] + q[:, 1]) * dims[2] + q[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        return len(uniq), inv
+
+    v_lo, v_hi = span / (4 * max(target_sp, 1)), span
+    s, inv = part((v_lo * v_hi) ** 0.5)
+    for _ in range(16):
+        if 0.8 * target_sp <= s <= 1.25 * target_sp:
+            break
+        if s > target_sp:
+            v_lo = (v_lo * v_hi) ** 0.5   # too many voxels → coarser grid
+        else:
+            v_hi = (v_lo * v_hi) ** 0.5
+        s, inv = part((v_lo * v_hi) ** 0.5)
+    in_component = inv.astype(np.int32)
+    order = np.argsort(in_component, kind="stable")
+    bounds = np.searchsorted(in_component[order], np.arange(s + 1))
+    components = [order[bounds[i]: bounds[i + 1]] for i in range(s)]
+    return components, in_component

@@ -218,6 +218,173 @@ class TestOracle:
         assert [list(s) for s in subs] == [[0, 1, 5], [2, 3], [4]]
 
 
+# ------------------------------------------------ vectorized scoring path ---
+class TestVectorizedScoring:
+    """The selection hot loop (per-superpoint numpy bincounts,
+    sampler2.py:612-631) is replaced by one O(N) vectorized pass; these
+    tests pin elementwise equivalence with the per-region formulation."""
+
+    def test_dominant_ids_all_matches_per_region(self, rng):
+        from ssdr_al_tpu.active.oracle import (
+            dominant_point_ids,
+            dominant_point_ids_all,
+            gt_dominant_all,
+        )
+
+        n, n_sp, c = 700, 25, 6
+        seg = rng.randint(0, n_sp, n).astype(np.int32)
+        components = [np.where(seg == i)[0] for i in range(n_sp)]
+        labels = rng.randint(0, c, n)
+        dom = gt_dominant_all(seg, n_sp, labels, c)
+        all_ids = dominant_point_ids_all(seg, n_sp, labels, dom)
+        assert len(all_ids) == n_sp
+        for i, comp in enumerate(components):
+            if not len(comp):
+                assert len(all_ids[i]) == 0
+                continue
+            dl, ids = dominant_point_ids(comp, labels[comp])
+            assert dl == dom[i]
+            np.testing.assert_array_equal(all_ids[i], ids)
+
+    def test_gt_dominant_matches_dominant_label(self, rng):
+        from ssdr_al_tpu.active.oracle import gt_dominant_all
+
+        n, n_sp, c = 400, 12, 5
+        seg = rng.randint(0, n_sp, n).astype(np.int32)
+        labels = rng.randint(0, c, n)
+        dom = gt_dominant_all(seg, n_sp, labels, c)
+        for i in range(n_sp):
+            m = seg == i
+            if not m.any():
+                continue
+            assert dom[i] == dominant_label(labels[m])[0]
+
+    def _make_sampler(self, rng, tmp_path, min_size=3):
+        import dataclasses
+
+        from ssdr_al_tpu.active.samplers import TSampler, TSamplerArgs
+        from ssdr_al_tpu.config import get_config
+        from ssdr_al_tpu.data.cloud import Cloud
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), num_points=256, num_classes=5
+        )
+        clouds, total_obj = [], {"unlabeled": {}, "selected_class_list": []}
+        state = ALState(str(tmp_path), ["t0", "test"])
+        for name, n, n_sp in (("roomA", 900, 30), ("roomB", 700, 22)):
+            seg = rng.randint(0, n_sp, n).astype(np.int32)
+            comps = [np.where(seg == i)[0] for i in range(n_sp)]
+            clouds.append(Cloud(
+                name=name,
+                xyz=(rng.rand(n, 3) * 8).astype(np.float32),
+                colors=rng.rand(n, 3).astype(np.float32),
+                labels=rng.randint(0, 5, n).astype(np.int32),
+            ))
+            state.write_superpoints(name, comps, seg, n)
+            total_obj["unlabeled"][name] = list(
+                rng.permutation(n_sp)[: n_sp * 2 // 3]
+            )
+        args = TSamplerArgs(
+            point_uncertainty_mode="sb", uncertainty_mode="mean",
+            class_balance="", diversity="", min_size=min_size,
+        )
+        sampler = TSampler(state, clouds, cfg, args, 52, seed=0)
+        return sampler, clouds, state, total_obj, cfg
+
+    @staticmethod
+    def _stub_eval_step(model_state, batch):
+        xyz = jnp.asarray(batch["xyz"])
+        w = jnp.asarray(
+            [[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0.5, 0], [0, 0.3, 0.7]]
+        )
+        probs = jnp.exp(xyz @ w.T)
+        probs = probs / probs.sum(-1, keepdims=True)
+        feats = jnp.tile(xyz, (1, 1, 11))[..., :32]
+        return probs, feats
+
+    def test_prediction_matches_per_region_loop(self, rng, tmp_path):
+        """New vectorized prediction == the literal per-superpoint loop
+        (old implementation / reference structure) on refs, dominant ids,
+        labeled registry and score ordering."""
+        sampler, clouds, state, total_obj, cfg = self._make_sampler(
+            rng, tmp_path
+        )
+        a = sampler.args
+        refs, sorted_inds, inference, labeled = sampler.prediction(
+            self._stub_eval_step, None, total_obj, 2, RoundStats()
+        )
+
+        # ---- expected: the per-region loop over the SAME inference outputs
+        from ssdr_al_tpu.active.oracle import dominant_point_ids
+
+        exp_unc, exp_refs, exp_labeled = [], [], {}
+        for cloud in clouds:
+            name = cloud.name
+            inf = inference[name]
+            sp = state.load_superpoints(name)
+            s = sp.num_superpoints
+            runc = np.asarray(region_uncertainty(
+                jnp.asarray(inf.uncertainty), jnp.asarray(inf.prob_class),
+                jnp.asarray(sp.in_component), s, cfg.num_classes,
+                a.uncertainty_mode,
+            ))
+            unl_set = set(total_obj["unlabeled"][name])
+            for sp_idx in range(s):
+                pids = sp.components[sp_idx]
+                if len(pids) < a.min_size:
+                    continue
+                if sp_idx in unl_set:
+                    _, dom_ids = dominant_point_ids(
+                        pids, inf.prob_class[pids]
+                    )
+                    exp_unc.append(float(runc[sp_idx]))
+                    exp_refs.append((name, sp_idx, dom_ids))
+                else:
+                    exp_labeled.setdefault(name, []).append(sp_idx)
+
+        assert len(refs) == len(exp_refs)
+        for r, (name, sp_idx, dom_ids) in zip(refs, exp_refs):
+            assert (r.cloud_name, r.sp_idx) == (name, sp_idx)
+            np.testing.assert_array_equal(r.dominant_point_ids, dom_ids)
+        assert labeled == exp_labeled
+        np.testing.assert_array_equal(
+            sorted_inds, np.argsort(-np.asarray(exp_unc))
+        )
+
+    def test_anchors_match_per_region_loop(self, rng, tmp_path):
+        sampler, clouds, state, total_obj, cfg = self._make_sampler(
+            rng, tmp_path
+        )
+        refs, _, _, labeled = sampler.prediction(
+            self._stub_eval_step, None, total_obj, 2, RoundStats()
+        )
+        sampler.rng = np.random.RandomState(7)
+        got = sampler.select_labeled_anchors(labeled, round_num=3)
+
+        # expected: per-region loop (old implementation)
+        from ssdr_al_tpu.active.oracle import dominant_point_ids
+        from ssdr_al_tpu.active.uncertainty import _class_frequency_weights
+
+        dominant_labels, exp = [], []
+        for name, sp_list in labeled.items():
+            sp = state.load_superpoints(name)
+            labels = next(c for c in clouds if c.name == name).labels
+            for sp_idx in sp_list:
+                pids = sp.components[sp_idx]
+                dl, dom_ids = dominant_point_ids(pids, labels[pids])
+                dominant_labels.append(dl)
+                exp.append((name, sp_idx, dom_ids))
+        w = _class_frequency_weights(dominant_labels, cfg.num_classes)
+        p = w / w.sum()
+        rng2 = np.random.RandomState(7)
+        sel = rng2.choice(len(exp), min(2000, len(exp)), replace=False, p=p)
+        assert len(got) == len(sel)
+        for r, i in zip(got, sel):
+            name, sp_idx, dom_ids = exp[i]
+            assert (r.cloud_name, r.sp_idx, r.is_labeled) == (name, sp_idx, True)
+            np.testing.assert_array_equal(r.dominant_point_ids, dom_ids)
+
+
 # ------------------------------------------------------------------ state ---
 class TestState:
     def test_round_trip_and_round_copy(self, rng, tmp_path):

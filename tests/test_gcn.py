@@ -35,12 +35,12 @@ class TestAdjacency:
             jnp.asarray(graph.ed_cd), jnp.asarray(graph.mask),
             jnp.asarray(blocks),
         )
-        adj = np.asarray(adj)[0]
-        s = graph.mask.shape[1]
+        s = len(graph.refs)   # valid regions (blocks are pad-bucketed)
+        adj = np.asarray(adj)[0][:s, :s]
         # numpy oracle
         v = feats / np.linalg.norm(feats, axis=1, keepdims=True)
         latent = v @ v.T
-        m = latent * np.exp(-graph.ed_cd[0])
+        m = latent * np.exp(-graph.ed_cd[0][:s, :s])
         m += -np.eye(s)
         col = m.sum(0)
         want = m @ np.diag(1.0 / col) + np.eye(s)
@@ -76,6 +76,7 @@ class TestGCNTraining:
         adj, vhat = _latent_adjacency(jnp.asarray(graph.ed_cd), mask, blocks)
         params = _init_gcn_params(jax.random.PRNGKey(0), feats.shape[1])
         scores, hidden = _gcn_forward(params, adj, vhat, mask)
-        assert scores.shape == (1, graph.mask.shape[1], 1)
-        assert hidden.shape == (1, graph.mask.shape[1], 128)
+        # block dims are pad-bucketed (region_graph.py): C → 8s, S → 16s
+        assert scores.shape == graph.mask.shape + (1,)
+        assert hidden.shape == graph.mask.shape + (128,)
         assert (np.asarray(scores) >= 0).all() and (np.asarray(scores) <= 1).all()
