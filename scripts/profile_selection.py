@@ -40,12 +40,21 @@ def main():
     p.add_argument("--reference", action="store_true",
                    help="also run the reference numpy selection (slow: "
                         "dense N^2 adjacency + KDTree chamfer, single core)")
+    p.add_argument("--reference_only", action="store_true",
+                   help="skip our (TPU) round; run ONLY the reference numpy "
+                        "selection against the seed-round registry — lets "
+                        "the CPU-bound reference measurement run while the "
+                        "TPU is busy elsewhere")
     p.add_argument("--keep", action="store_true",
                    help="keep the workload directory")
     args = p.parse_args()
 
     import jax
 
+    if args.reference_only:
+        # CPU-bound measurement: don't grab the TPU (the axon plugin
+        # overrides JAX_PLATFORMS at startup — force it back post-import)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from ssdr_al_tpu.active.state import RoundStats
@@ -62,6 +71,22 @@ def main():
             "event": "setup", "clouds": args.clouds, "points": args.points,
             "sp_num": total["sp_num"], "setup_s": round(setup_s, 2),
         }), flush=True)
+
+        if args.reference_only:
+            # same labeled/unlabeled split the measured rounds see (the
+            # seed round's registry); round_num=3 matches the measured
+            # round's (round-1)*1000 anchor cap
+            seed_round = os.path.join(work, "sampling", "seed", "round_1")
+            ref = bench.measure_reference_selection(
+                work, train, state, seed_round, args.budget, round_num=3,
+            )
+            print(json.dumps({
+                "event": "reference_numpy",
+                "phases": {k: round(v, 2) for k, v in ref.items()},
+                "note": "reference GPU forward + DataLoader + oracle "
+                        "credited as free (lower bound)",
+            }), flush=True)
+            return
 
         sampler, eval_step, mstate = bench._make_selection_sampler(
             train, state, total)

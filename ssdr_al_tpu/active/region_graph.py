@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks, pad_superpoints
 
 
 @dataclasses.dataclass
@@ -88,30 +88,47 @@ def build_region_graph(
     mask = np.zeros((c, s_max), bool)
     block_of, slot_of = [], []
 
-    for ci, name in enumerate(cloud_names):
+    # host pass: per-cloud padded superpoints + centroid ED. Blocks are
+    # grouped by their padded-P bucket (powers of two ≥64) and each group
+    # runs as ONE batched device call (chamfer_pairwise_blocks): per-cloud
+    # calls would pay ~30 ms dispatch each at 200-cloud scale, while one
+    # global P pad would inflate every block's O(S²P²) work to the largest
+    # cloud's superpoint size
+    per_cloud = []
+    for name in cloud_names:
         regs = regions_by_cloud[name]
         xyz = cloud_xyz[name]
         comps = components[name]
         sp_points = [xyz[comps[sp_idx]] for sp_idx, _, _ in regs]
         centroids = np.stack([bbox_center(p) for p in sp_points])
-        # chamfer on device over padded superpoints; bound the live distance
-        # block (row_chunk · P · S · P · 4B) to ~256 MB
         pts, msk = pad_superpoints(sp_points, max_points=max_points_per_sp)
-        s_pad = -(-msk.shape[0] // 16) * 16
-        p_pad = -(-msk.shape[1] // 64) * 64
-        pts = np.pad(pts, ((0, s_pad - msk.shape[0]),
-                           (0, p_pad - msk.shape[1]), (0, 0)))
-        msk = np.pad(msk, ((0, s_pad - msk.shape[0]),
-                           (0, p_pad - msk.shape[1])))
-        budget = 256 * 1024 * 1024 // 4
-        row_chunk = max(1, min(8, budget // max(p_pad * s_pad * p_pad, 1)))
-        cd = np.asarray(
-            chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk), row_chunk)
-        )[: len(regs), : len(regs)]
+        p_bucket = 64
+        while p_bucket < msk.shape[1]:
+            p_bucket *= 2
+        per_cloud.append((name, regs, centroids, pts, msk, p_bucket))
+
+    cd_by_cloud = {}
+    budget = 256 * 1024 * 1024 // 4
+    for p in sorted({pc[5] for pc in per_cloud}):
+        group = [pc for pc in per_cloud if pc[5] == p]
+        pts_g = np.zeros((len(group), s_max, p, 3), np.float32)
+        msk_g = np.zeros((len(group), s_max, p), bool)
+        for gi, (_, _, _, pts, msk, _) in enumerate(group):
+            pts_g[gi, : pts.shape[0], : pts.shape[1]] = pts
+            msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
+        # bound the live distance block (row_chunk · P · S · P · 4B) ~256 MB
+        row_chunk = max(1, min(8, budget // max(p * s_max * p, 1)))
+        cd_g = np.asarray(chamfer_pairwise_blocks(
+            jnp.asarray(pts_g), jnp.asarray(msk_g), row_chunk
+        ))
+        for gi, (name, _, _, _, _, _) in enumerate(group):
+            cd_by_cloud[name] = cd_g[gi]
+
+    for ci, (name, regs, centroids, _, _, _) in enumerate(per_cloud):
         diff = centroids[:, None, :] - centroids[None, :, :]
         ed = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
         s = len(regs)
-        ed_cd[ci, :s, :s] = ed + cd
+        ed_cd[ci, :s, :s] = ed + cd_by_cloud[name][:s, :s]
         mask[ci, :s] = True
         for slot, (sp_idx, is_labeled, dom_ids) in enumerate(regs):
             refs.append(RegionRef(name, int(sp_idx), bool(is_labeled), dom_ids))

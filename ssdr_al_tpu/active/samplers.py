@@ -107,6 +107,57 @@ class InferenceRunner:
 
         self._reduce = _reduce
 
+    def run_many(self, clouds: List[Cloud]) -> Dict[str, CloudInference]:
+        """Whole-dataset inference with chunk groups spanning CLOUD
+        boundaries: at 200-cloud scale (reference S3DIS cloud-count,
+        sampler2.py:589-598) per-cloud dispatch costs ~30 ms of host↔device
+        round-trip each on this platform — grouping across clouds divides
+        the dispatch count by the group size. ALL groups are enqueued
+        before any result is converted (eval is per-sample independent:
+        running-average BN, per-element pyramid), so the device runs ahead
+        of the host conversion loop."""
+        m = 1 if self.mesh is None else int(self.mesh.devices.size)
+        cb = max((max(self.chunk_batch, m) // m) * m, m)
+        flat = []                     # (cloud_name or None, chunk)
+        for cloud in clouds:
+            for chunk in self.pipe.cloud_chunks(cloud):
+                flat.append((cloud.name, chunk))
+        groups = [flat[i: i + cb] for i in range(0, len(flat), cb)]
+        if groups and len(groups[-1]) < cb:
+            pad = groups[-1][-1][1]   # repeat a chunk; results discarded
+            groups[-1] = groups[-1] + [(None, pad)] * (cb - len(groups[-1]))
+        pending = []
+        for g in groups:
+            batch = {
+                k: np.concatenate([c[0][k] for _, c in g], axis=0)
+                for k in g[0][1][0]
+            }
+            if self.mesh is not None:
+                from ssdr_al_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            probs, feats = self.eval_step(self.state, batch)
+            cls, u = self._reduce(probs)
+            pending.append((g, cls, u, feats))
+        out = {
+            c.name: CloudInference(
+                np.zeros(c.num_points, np.int32),
+                np.zeros(c.num_points, np.float32),
+                np.zeros((c.num_points, 32), np.float16),
+            )
+            for c in clouds
+        }
+        for g, cls, u, feats in pending:
+            cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)
+            for j, (name, (_, idx, valid)) in enumerate(g):
+                if name is None:
+                    continue
+                o = out[name]
+                o.prob_class[idx[:valid]] = cls[j][:valid]
+                o.uncertainty[idx[:valid]] = u[j][:valid]
+                o.penult[idx[:valid]] = feats[j][:valid].astype(np.float16)
+        return out
+
     def run(self, cloud: Cloud) -> CloudInference:
         n = cloud.num_points
         prob_class = np.zeros(n, np.int32)
@@ -335,15 +386,32 @@ class TSampler:
         cls_parts: List[np.ndarray] = []
         unlabeled_refs: List[RegionRef] = []
         labeled_by_cloud: Dict[str, List[int]] = {}
-        inference: Dict[str, CloudInference] = {}
 
+        inference = runner.run_many(list(self.clouds))
+
+        # flat device scoring: ONE call for all clouds (per-cloud segment
+        # ids get a running offset) — at 200-cloud scale per-cloud dispatch
+        # overhead (~30 ms each on this platform) dominates otherwise
+        seg_in, unc_in, cls_in, per_cloud = [], [], [], []
+        s_off = 0
         for cloud in self.clouds:
-            name = cloud.name
-            inf = runner.run(cloud)
-            inference[name] = inf
-            sp = self.state.load_superpoints(name)
+            sp = self.state.load_superpoints(cloud.name)
             s = sp.num_superpoints
-            runc, dom = self._score_cloud(inf, sp, s, a.uncertainty_mode)
+            inf = inference[cloud.name]
+            seg_in.append(sp.in_component.astype(np.int64) + s_off)
+            unc_in.append(inf.uncertainty)
+            cls_in.append(inf.prob_class)
+            per_cloud.append((cloud.name, sp, s, s_off))
+            s_off += s
+        runc_all, dom_all = self._score_flat(
+            np.concatenate(unc_in), np.concatenate(cls_in),
+            np.concatenate(seg_in), s_off, a.uncertainty_mode,
+        )
+
+        for name, sp, s, off in per_cloud:
+            inf = inference[name]
+            runc = runc_all[off: off + s]
+            dom = dom_all[off: off + s]
             # one O(N) pass builds every region's dominant-pred id list —
             # the per-superpoint bincount loop this replaces was the
             # reference's selection hot loop (sampler2.py:612-631)
@@ -381,25 +449,25 @@ class TSampler:
         sorted_inds = np.argsort(-region_unc)
         return unlabeled_refs, sorted_inds, inference, labeled_by_cloud
 
-    def _score_cloud(self, inf: CloudInference, sp, s: int, mode: str):
-        """Device scoring for one cloud, shape-bucketed (N to 16384s, S to
-        512s with a reserved padding segment) so a 200-cloud sweep with
-        ragged cloud/superpoint counts reuses a handful of compiled
-        programs instead of recompiling per cloud."""
-        n = sp.in_component.shape[0]
-        n_pad = -(-n // 16384) * 16384
-        s_pad = -(-(s + 1) // 512) * 512   # id s_pad-1 reserved for padding
+    def _score_flat(self, unc_in, cls_in, seg_in, total_s: int, mode: str):
+        """Device scoring for the whole cloud set in one call, shape-
+        bucketed (points to 131072s, segments to 2048s with a reserved
+        padding segment) so ragged cloud/superpoint totals reuse a handful
+        of compiled programs across rounds."""
+        n = seg_in.shape[0]
+        n_pad = -(-n // 131072) * 131072
+        s_pad = -(-(total_s + 1) // 2048) * 2048  # last id reserved for pad
         unc = np.zeros(n_pad, np.float32)
-        unc[:n] = inf.uncertainty
+        unc[:n] = unc_in
         cls = np.zeros(n_pad, np.int32)
-        cls[:n] = inf.prob_class
+        cls[:n] = cls_in
         seg = np.full(n_pad, s_pad - 1, np.int32)
-        seg[:n] = sp.in_component
+        seg[:n] = seg_in
         runc, dom = _score_regions_device(
             jnp.asarray(unc), jnp.asarray(cls), jnp.asarray(seg),
             s_pad, self.cfg.num_classes, mode,
         )
-        return np.asarray(runc)[:s], np.asarray(dom)[:s]
+        return np.asarray(runc)[:total_s], np.asarray(dom)[:total_s]
 
     # ------------------------------------------------------------ anchors ---
     def _gt_dominant(self, name):

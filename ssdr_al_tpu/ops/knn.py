@@ -199,7 +199,8 @@ def _knn_window_single(support, query, k, query_chunk, window, shift=0):
     return out[inv[:nq]]
 
 
-def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window):
+def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window,
+                       fold=1):
     """Fused distance + top-k over one morton window, entirely in VMEM.
 
     start_ref: SMEM scalar — this query tile's window offset into the sorted
@@ -212,7 +213,16 @@ def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window):
     12-bit window-relative index there. One packed int32 min-reduction then
     yields BOTH the min distance and its index; the extracted element is
     knocked out by exact equality (index bits make packed values unique).
-    """
+
+    fold > 1: strided group-min pre-reduction before the k-step extraction
+    — the VPU-bound part of this kernel. packed[:, c·G:(c+1)·G] slices are
+    elementwise-min-folded to [TQ, G=W/fold]; because packed values CARRY
+    their lane index, the fold keeps exact identities and the extraction
+    loop (k passes) then runs over G lanes instead of W. The only loss is
+    within-group 2nd-bests: a true neighbor is dropped iff another true
+    neighbor sits exactly c·G lanes away — spatially far in morton order,
+    so rare (measured: recall −0.002 at fold=10/W=3840 on the bench scene
+    vs 16/fold× less extraction work)."""
     tq = qx_ref.shape[0]
     start = pl.multiple_of(start_ref[pl.program_id(0)], 128)
     qx = qx_ref[:, 0:1]
@@ -226,6 +236,13 @@ def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window):
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, window), 1)
     packed = (pltpu.bitcast(d2, jnp.int32) & jnp.int32(~0xFFF)) | lane
 
+    if fold > 1:
+        g = window // fold
+        red = packed[:, 0:g]
+        for c in range(1, fold):
+            red = jnp.minimum(red, packed[:, c * g:(c + 1) * g])
+        packed = red
+
     big = jnp.int32(0x7F000000)
     cols = []
     for _ in range(k):
@@ -235,13 +252,29 @@ def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window):
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
-def _run_window_pallas(s_sorted, q_sorted, starts, k, query_chunk, window):
+def _pick_extract_fold(window: int, fold: int = 0) -> int:
+    """Strided-group pre-reduction fold for the extraction loop (fold=0 →
+    default 1 = exact k-step extraction; callers may pass ≥2 for the folded
+    variant, which requires window % fold == 0 and window/fold % 128 == 0).
+
+    MEASURED NEGATIVE RESULT (kept as a knob for future shapes): at
+    W=3840/TQ=256/k=16 on 40960-pt scenes the fold does NOT speed up the
+    kernel (fold 1/6/10/15 all ~1.35 ms per 40960-query search) — the
+    kernel is not extraction-bound at these shapes, contrary to the pass-
+    count model; recall holds at fold=6 (0.9293 == exact) and only drops
+    at 15 (0.9214). Exact extraction therefore stays the default."""
+    return fold if fold else 1
+
+
+def _run_window_pallas(s_sorted, q_sorted, starts, k, query_chunk, window,
+                       fold=0):
     ns, nq = s_sorted.shape[0], q_sorted.shape[0]
     num_tiles = nq // query_chunk
     sp = jnp.zeros((8, ns), jnp.float32).at[:3, :].set(s_sorted.T)
     qp = jnp.zeros((nq, 128), jnp.float32).at[:, :3].set(q_sorted)
 
-    kernel = functools.partial(_knn_window_kernel, k=k, window=window)
+    kernel = functools.partial(_knn_window_kernel, k=k, window=window,
+                               fold=_pick_extract_fold(window, fold))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
