@@ -183,8 +183,13 @@ def main():
         from ssdr_al_tpu.active.state import ALState
 
         state = ALState(work, ["partition"])
-        total = compute_superpoints(train, state, args.reg_strength,
-                                    log=lambda *a: None)
+        if os.path.exists(os.path.join(state.superpoint_dir, "total.pkl")):
+            # shared --workdir across seed invocations: partition (and the
+            # seed round, below) are seed-independent — reuse them
+            total = state.load_registry()
+        else:
+            total = compute_superpoints(train, state, args.reg_strength,
+                                        log=lambda *a: None)
         total_sp = total["sp_num"]
         log({"event": "setup", "total_sp": total_sp,
              "clicks_per_round": args.clicks, "rounds": args.rounds})

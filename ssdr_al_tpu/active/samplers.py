@@ -68,6 +68,14 @@ def spread_budget_over_clouds(rng, total_num, number, cloud_names):
     return each
 
 
+def _to_f16(x):
+    """float16 with saturation: bfloat16 activations (range ~1e38) from an
+    early-round model can exceed float16 max — an unclipped cast makes inf
+    penultimate features, which poison region-feature means and collapse
+    the FPS distance field."""
+    return np.clip(np.asarray(x, np.float32), -6.5e4, 6.5e4).astype(np.float16)
+
+
 @dataclasses.dataclass
 class CloudInference:
     """Per-cloud outputs of the selection-time forward pass."""
@@ -155,7 +163,7 @@ class InferenceRunner:
                 o = out[name]
                 o.prob_class[idx[:valid]] = cls[j][:valid]
                 o.uncertainty[idx[:valid]] = u[j][:valid]
-                o.penult[idx[:valid]] = feats[j][:valid].astype(np.float16)
+                o.penult[idx[:valid]] = _to_f16(feats[j][:valid])
         return out
 
     def run(self, cloud: Cloud) -> CloudInference:
@@ -202,7 +210,7 @@ class InferenceRunner:
             for j, (_, idx, valid) in enumerate(group):
                 prob_class[idx[:valid]] = cls[j][:valid]
                 unc[idx[:valid]] = u[j][:valid]
-                penult[idx[:valid]] = feats[j][:valid].astype(np.float16)
+                penult[idx[:valid]] = _to_f16(feats[j][:valid])
         return CloudInference(prob_class, unc, penult)
 
 
