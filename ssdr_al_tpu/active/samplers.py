@@ -96,7 +96,7 @@ class InferenceRunner:
     inference, SURVEY §5)."""
 
     def __init__(self, cfg: Config, clouds: List[Cloud], eval_step, state,
-                 point_unc_mode: str, seed: int = 0, chunk_batch: int = 4,
+                 point_unc_mode: str, seed: int = 0, chunk_batch: int = 8,
                  mesh=None):
         self.cfg = cfg
         self.clouds = {c.name: c for c in clouds}

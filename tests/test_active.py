@@ -351,6 +351,44 @@ class TestVectorizedScoring:
             sorted_inds, np.argsort(-np.asarray(exp_unc))
         )
 
+    def test_run_many_matches_per_cloud_run(self, rng, tmp_path):
+        """Cross-cloud chunk grouping (run_many) must reproduce the
+        per-cloud runner exactly: eval is per-sample independent, so only
+        the dispatch grouping differs."""
+        import dataclasses
+
+        from ssdr_al_tpu.active.samplers import InferenceRunner
+        from ssdr_al_tpu.config import get_config
+        from ssdr_al_tpu.data.cloud import Cloud
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), num_points=256, num_classes=5
+        )
+        clouds = [
+            Cloud(name=f"c{i}",
+                  xyz=(rng.rand(500 + 70 * i, 3) * 8).astype(np.float32),
+                  colors=rng.rand(500 + 70 * i, 3).astype(np.float32),
+                  labels=rng.randint(0, 5, 500 + 70 * i).astype(np.int32))
+            for i in range(3)
+        ]
+        mk = lambda: InferenceRunner(  # noqa: E731
+            cfg, clouds, TestVectorizedScoring._stub_eval_step, None,
+            "sb", seed=3, chunk_batch=4,
+        )
+        many = mk().run_many(clouds)
+        r2 = mk()   # one runner, clouds in order → same pipeline RNG stream
+        single = {c.name: r2.run(c) for c in clouds}
+        for c in clouds:
+            np.testing.assert_array_equal(
+                many[c.name].prob_class, single[c.name].prob_class)
+            np.testing.assert_allclose(
+                many[c.name].uncertainty, single[c.name].uncertainty,
+                rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(many[c.name].penult, np.float32),
+                np.asarray(single[c.name].penult, np.float32),
+                rtol=1e-2, atol=1e-3)
+
     def test_anchors_match_per_region_loop(self, rng, tmp_path):
         sampler, clouds, state, total_obj, cfg = self._make_sampler(
             rng, tmp_path
