@@ -108,7 +108,6 @@ def build_region_graph(
         per_cloud.append((name, regs, centroids, pts, msk, p_bucket))
 
     cd_by_cloud = {}
-    budget = 256 * 1024 * 1024 // 4
     for p in sorted({pc[5] for pc in per_cloud}):
         group = [pc for pc in per_cloud if pc[5] == p]
         pts_g = np.zeros((len(group), s_max, p, 3), np.float32)
@@ -116,10 +115,10 @@ def build_region_graph(
         for gi, (_, _, _, pts, msk, _) in enumerate(group):
             pts_g[gi, : pts.shape[0], : pts.shape[1]] = pts
             msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
-        # bound the live distance block (row_chunk · P · S · P · 4B) ~256 MB
-        row_chunk = max(1, min(8, budget // max(p * s_max * p, 1)))
+        # chamfer_pairwise chunks its own target dim to a bounded live
+        # block, so a fixed row_chunk is safe at any S/P
         cd_g = np.asarray(chamfer_pairwise_blocks(
-            jnp.asarray(pts_g), jnp.asarray(msk_g), row_chunk
+            jnp.asarray(pts_g), jnp.asarray(msk_g), 8
         ))
         for gi, (name, _, _, _, _, _) in enumerate(group):
             cd_by_cloud[name] = cd_g[gi]

@@ -30,9 +30,13 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     """points: [S, P, 3] float32 (centered); mask: [S, P] bool.
     Returns cd: [S, S] float32 with zero diagonal.
 
-    row_chunk: number of source clouds processed per scan step (memory knob:
-    live buffer is [row_chunk, P, S, P] distances — keep row_chunk·P·S·P·4B
-    under a few hundred MB).
+    row_chunk: number of source clouds processed per scan step. The target
+    side is ALSO chunked so the live distance block
+    [row_chunk, P, target_chunk, P] stays under ~128 MB regardless of S·P —
+    at S=512/P=512 an unchunked [1, P, S, P] block is 537 MB plus XLA
+    temporaries, which crashed the TPU worker (huge-anchor AL rounds).
+    Chunking is value-identical: per-target mins/means decompose over
+    target chunks.
     """
     points = jnp.asarray(points, jnp.float32)
     s, p, _ = points.shape
@@ -43,36 +47,48 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     sq = jnp.sum(pts * pts, axis=-1)  # [S, P]
     counts = jnp.maximum(jnp.sum(msk, axis=1), 1).astype(jnp.float32)  # [S]
 
-    flat = pts.reshape(s_pad * p, 3)
-    flat_sq = sq.reshape(s_pad * p)
-    flat_msk = msk.reshape(s_pad * p)
+    # target chunk: keep row_chunk·P·tc·P f32 ≤ ~128 MB, tc | s_pad
+    budget = 128 * 1024 * 1024 // 4
+    tc = max(1, min(s_pad, budget // max(row_chunk * p * p, 1)))
+    while s_pad % tc:
+        tc -= 1
 
     def body(_, ci):
         start = ci * row_chunk
         a = jax.lax.dynamic_slice_in_dim(pts, start, row_chunk, axis=0)    # [rc,P,3]
         a_sq = jax.lax.dynamic_slice_in_dim(sq, start, row_chunk, axis=0)  # [rc,P]
         a_msk = jax.lax.dynamic_slice_in_dim(msk, start, row_chunk, axis=0)
-        # d2[r, pa, j*P+q] over all target points
-        cross = jnp.einsum(
-            "rpc,nc->rpn", a, flat, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [rc, P, S*P]
-        d2 = a_sq[:, :, None] + flat_sq[None, None, :] - 2.0 * cross
-        d2 = jnp.maximum(d2, 0.0)
-        # mask invalid target points
-        d2 = jnp.where(flat_msk[None, None, :], d2, _BIG)
-        d2 = d2.reshape(row_chunk, p, s_pad, p)
-        dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))            # [rc, P, S] a→b NN dist
-        # mask invalid source points before the mean
-        dmin_ab = jnp.where(a_msk[:, :, None], dmin_ab, 0.0)
         a_counts = jax.lax.dynamic_slice_in_dim(counts, start, row_chunk, axis=0)
-        mean_ab = jnp.sum(dmin_ab, axis=1) / a_counts[:, None]
-        # b→a: min over the source's points (axis=1), mean over target's valid pts
-        d2_ba = jnp.where(a_msk[:, :, None, None], d2, _BIG)
-        dmin_ba = jnp.sqrt(jnp.min(d2_ba, axis=1))          # [rc, S, P]
-        dmin_ba = jnp.where(msk[None, :, :], dmin_ba, 0.0)
-        mean_ba = jnp.sum(dmin_ba, axis=-1) / counts[None, :]
-        return None, mean_ab + mean_ba                      # [rc, S]
+
+        def tbody(_, tj):
+            t0 = tj * tc
+            t_pts = jax.lax.dynamic_slice_in_dim(pts, t0, tc, axis=0)
+            t_sq = jax.lax.dynamic_slice_in_dim(sq, t0, tc, axis=0)
+            t_msk = jax.lax.dynamic_slice_in_dim(msk, t0, tc, axis=0)
+            t_counts = jax.lax.dynamic_slice_in_dim(counts, t0, tc, axis=0)
+            flat = t_pts.reshape(tc * p, 3)
+            cross = jnp.einsum(
+                "rpc,nc->rpn", a, flat,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [rc, P, tc*P]
+            d2 = a_sq[:, :, None] + t_sq.reshape(tc * p)[None, None, :] \
+                - 2.0 * cross
+            d2 = jnp.maximum(d2, 0.0)
+            d2 = jnp.where(t_msk.reshape(tc * p)[None, None, :], d2, _BIG)
+            d2 = d2.reshape(row_chunk, p, tc, p)
+            dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))        # [rc, P, tc]
+            dmin_ab = jnp.where(a_msk[:, :, None], dmin_ab, 0.0)
+            mean_ab = jnp.sum(dmin_ab, axis=1) / a_counts[:, None]
+            d2_ba = jnp.where(a_msk[:, :, None, None], d2, _BIG)
+            dmin_ba = jnp.sqrt(jnp.min(d2_ba, axis=1))      # [rc, tc, P]
+            dmin_ba = jnp.where(t_msk[None, :, :], dmin_ba, 0.0)
+            mean_ba = jnp.sum(dmin_ba, axis=-1) / t_counts[None, :]
+            return None, mean_ab + mean_ba                  # [rc, tc]
+
+        _, cols = jax.lax.scan(tbody, None, jnp.arange(s_pad // tc))
+        # cols: [s_pad/tc, rc, tc] → [rc, s_pad]
+        return None, jnp.transpose(cols, (1, 0, 2)).reshape(row_chunk, s_pad)
 
     _, rows = jax.lax.scan(body, None, jnp.arange(s_pad // row_chunk))
     cd = rows.reshape(s_pad, s_pad)[:s, :s]
