@@ -150,6 +150,22 @@ class TestChamfer:
         np.testing.assert_allclose(got, got.T, rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.diag(got), 0, atol=1e-6)
 
+    def test_target_chunking_invariant(self, rng):
+        """Big shapes take the multi-target-chunk path (S=24, P=512 →
+        tc<s_pad); the result must equal the single-chunk computation —
+        the decomposition that fixed the TPU-worker crash at huge-anchor
+        rounds must be value-preserving."""
+        clouds = [rng.randn(rng.randint(100, 512), 3).astype(np.float32)
+                  for _ in range(24)]
+        pts, msk = pad_superpoints(clouds)
+        assert pts.shape[1] >= 450  # ensures p*p*rc exceeds the tc budget
+        multi = np.asarray(chamfer_pairwise(pts, msk, row_chunk=8))
+        single = np.asarray(chamfer_pairwise(pts, msk, row_chunk=1))
+        np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+        # spot-check two pairs against the numpy oracle
+        want = np_chamfer_pairwise(clouds[:3])
+        np.testing.assert_allclose(multi[:3, :3], want, rtol=1e-4, atol=1e-4)
+
 
 # ------------------------------------------------------------------- geof ---
 def np_geof(xyz, neighbor_idx):
