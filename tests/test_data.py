@@ -74,6 +74,26 @@ class TestBlocks:
         np.testing.assert_allclose(b.features[:, :3], b.xyz, atol=1e-6)
 
 
+class TestGridSuperpoints:
+    def test_partition_contract(self, rng):
+        """grid_superpoints (selection-scale benchmark partitioner) must
+        honor the partition/cp.py contract: exhaustive disjoint components,
+        ascending point ids per region, in_component consistency, region
+        count near the target."""
+        from ssdr_al_tpu.data.synthetic import grid_superpoints
+
+        xyz = (rng.rand(5000, 3) * np.array([8.0, 6.0, 3.0])).astype(
+            np.float32)
+        comps, in_comp = grid_superpoints(xyz, target_sp=120)
+        assert len(comps) == in_comp.max() + 1
+        assert 60 <= len(comps) <= 240, len(comps)
+        seen = np.concatenate(comps)
+        assert len(seen) == 5000 and len(np.unique(seen)) == 5000
+        for i, c in enumerate(comps):
+            assert (np.diff(c) > 0).all()          # ascending
+            assert (in_comp[c] == i).all()
+
+
 class TestPipelines:
     def test_training_pipeline_batches(self, rng):
         train, _ = make_dataset(num_train=3, num_points=2000)
