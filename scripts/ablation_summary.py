@@ -22,9 +22,14 @@ def load(path):
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line:
+            # logs interleave warnings/tracebacks with the JSON records
+            # (e.g. a crashed trial's tail) — keep what parses
+            if not line.startswith("{"):
                 continue
-            r = json.loads(line)
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
             if "sampler" in r and "round" in r and r["sampler"] != "seed":
                 recs.append(r)
     return recs
