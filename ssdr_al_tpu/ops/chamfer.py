@@ -44,7 +44,6 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     pts = jnp.pad(points, ((0, s_pad - s), (0, 0), (0, 0)))
     msk = jnp.pad(mask, ((0, s_pad - s), (0, 0)))
 
-    sq = jnp.sum(pts * pts, axis=-1)  # [S, P]
     counts = jnp.maximum(jnp.sum(msk, axis=1), 1).astype(jnp.float32)  # [S]
 
     # target chunk: keep row_chunk·P·tc·P f32 ≤ ~128 MB, tc | s_pad
@@ -56,25 +55,23 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     def body(_, ci):
         start = ci * row_chunk
         a = jax.lax.dynamic_slice_in_dim(pts, start, row_chunk, axis=0)    # [rc,P,3]
-        a_sq = jax.lax.dynamic_slice_in_dim(sq, start, row_chunk, axis=0)  # [rc,P]
         a_msk = jax.lax.dynamic_slice_in_dim(msk, start, row_chunk, axis=0)
         a_counts = jax.lax.dynamic_slice_in_dim(counts, start, row_chunk, axis=0)
 
         def tbody(_, tj):
             t0 = tj * tc
             t_pts = jax.lax.dynamic_slice_in_dim(pts, t0, tc, axis=0)
-            t_sq = jax.lax.dynamic_slice_in_dim(sq, t0, tc, axis=0)
             t_msk = jax.lax.dynamic_slice_in_dim(msk, t0, tc, axis=0)
             t_counts = jax.lax.dynamic_slice_in_dim(counts, t0, tc, axis=0)
             flat = t_pts.reshape(tc * p, 3)
-            cross = jnp.einsum(
-                "rpc,nc->rpn", a, flat,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [rc, P, tc*P]
-            d2 = a_sq[:, :, None] + t_sq.reshape(tc * p)[None, None, :] \
-                - 2.0 * cross
-            d2 = jnp.maximum(d2, 0.0)
+            # broadcast-subtraction distances: exact f32 on the VPU, the
+            # SAME form every KNN kernel here uses. (The previous K=3
+            # HIGHEST-precision einsum was the only MXU matmul in the AL
+            # path and coincided with repeated TPU-worker kernel faults.)
+            dx = a[:, :, 0][:, :, None] - flat[:, 0][None, None, :]
+            dy = a[:, :, 1][:, :, None] - flat[:, 1][None, None, :]
+            dz = a[:, :, 2][:, :, None] - flat[:, 2][None, None, :]
+            d2 = dx * dx + dy * dy + dz * dz            # [rc, P, tc*P]
             d2 = jnp.where(t_msk.reshape(tc * p)[None, None, :], d2, _BIG)
             d2 = d2.reshape(row_chunk, p, tc, p)
             dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))        # [rc, P, tc]
