@@ -600,6 +600,27 @@ def main():
         print(json.dumps(result))
         return
 
+    # TPU kernel-parity + production-recall gate suite: pass/fail is part of
+    # the bench record (VERDICT r2 #5 — regressions fail a test, not a
+    # human). MUST run before this process touches the TPU — the device is
+    # exclusive, so a subprocess launched while we hold it would hang.
+    import os
+    import subprocess
+
+    env = dict(os.environ, SSDR_TEST_TPU="1")
+    try:
+        gate = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             "tests/test_knn.py::TestKnnPallas",
+             "tests/test_knn.py::TestSortedFastPath",
+             "tests/test_tpu_gates.py::TestWindowRecallProduction"],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        gate_status = ("passed" if gate.returncode == 0 else
+                       "FAILED: " + gate.stdout.splitlines()[-1][:200])
+    except subprocess.TimeoutExpired:
+        gate_status = "TIMEOUT"
+
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
     train_pps = measure_train_step(batch)
@@ -613,22 +634,8 @@ def main():
     # the second dataset family's forward on the same fast path
     sem3d_pps = measure_tpu(4, iters=6, dataset="Semantic3D")
 
-    # TPU kernel-parity + production-recall gate suite: pass/fail is part of
-    # the bench record (VERDICT r2 #5 — regressions fail a test, not a human)
-    import os
-    import subprocess
-
-    env = dict(os.environ, SSDR_TEST_TPU="1")
-    gate = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x",
-         "tests/test_knn.py::TestKnnPallas",
-         "tests/test_knn.py::TestSortedFastPath",
-         "tests/test_tpu_gates.py::TestWindowRecallProduction"],
-        env=env, capture_output=True, text=True, timeout=1200,
-    )
     extras = {
-        "tpu_gate_suite": "passed" if gate.returncode == 0 else
-                          "FAILED: " + gate.stdout.splitlines()[-1][:200],
+        "tpu_gate_suite": gate_status,
         "semantic3d_block_pipeline_points_per_sec_per_chip": round(
             sem3d_pps, 1),
         "train_step_points_per_sec_per_chip": round(train_pps, 1),
