@@ -138,10 +138,10 @@ def random_sample(feature, pool_idx, window: int = 0):
     derived from the indices themselves (ops/gather.gather_window_auto).
 
     Engine choice is a measured cost model: the kernel pays W·C_pad·2 MXU
-    FLOPs per gathered row (~80 TFLOP/s achieved) vs XLA's flat ~12 ns/row;
-    gate at the shared KERNEL_MAX_WC crossover (ops/gather.py; measured:
-    pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1
-    W=4352·C=128 → 3.3 vs 3.0 ms XLA win)."""
+    FLOPs per gathered row vs XLA's flat ~12 ns/row; gate at the shared
+    KERNEL_MAX_WC crossover (ops/gather.py; with the matmul-extraction
+    epilogue the crossover is ~560k: pool L0 W=6400·C=32 kernel win,
+    pool L1 W=4352·C=128 → kernel 6.03 vs XLA 6.52 ms)."""
     n, (n_sub, k) = feature.shape[1], pool_idx.shape[1:]
     if window and n % 128 == 0 and n_sub % 128 == 0:
         from ssdr_al_tpu.ops.gather import (

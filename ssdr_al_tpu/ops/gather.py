@@ -40,11 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Kernel-vs-XLA crossover, shared by every call site (LFA gathers in
 # models.randlanet.gather_neighbour_fast AND pool gathers in random_sample):
-# the one-hot kernel pays ~W·C_pad·2 FLOP per gathered row at ~40-80 TF/s vs
-# XLA's flat ~12 ns/row, so the kernel wins iff W·C_pad ≲ 300k (measured:
-# pool L0 W=6400·C=32 → 5.0 vs 13.1 ms kernel win; pool L1 W=4352·C=128 →
-# 3.3 vs 3.0 ms XLA win; Semantic3D LFA W=4096·C=144=590k a wash).
-KERNEL_MAX_WC = 300_000
+# the one-hot kernel pays ~W·C_pad·2 FLOP per gathered row vs XLA's flat
+# ~12 ns/row. With the matmul-extraction epilogue (1.73× on the old kernel)
+# the measured crossover moved from ~300k to ~560k: pool L1 W=4352·C=128
+# (WC=557k) → kernel 6.03 vs XLA 6.52 ms. Above it stays XLA — Semantic3D's
+# LFA W=4096·C_pad=160 (655k) also VMEM-OOMs the TQ=512 kernel (out block
+# [512, 16·160] f32 + f32 y-tiles exceed the 16M scoped limit).
+KERNEL_MAX_WC = 560_000
 
 # SSDR_DEBUG_WINDOW_GUARD=1 makes gather_window_auto report clamped indices
 # at runtime (jax.debug.print inside jit) instead of clamping silently —
@@ -85,6 +87,15 @@ def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
     within = local - group * fold
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (tq, wg), 1)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (tq, fold * c), 1) // c
+    # strided-sum matrix S[l, m] = (l % c == m): after the per-query lane-
+    # block mask, ym @ S collapses the fold lane blocks into one C block on
+    # the MXU. Replacing the previous `fold`-way [TQ, c] slice-sum (narrow-
+    # lane VPU work) with this matmul is exact (ym rows hold one surviving
+    # bf16 value per lane) and measured 1.73× on the LFA gather shape
+    # (B=6 N=40960 k=16 C=16 W=4096 TQ=512: 14.5 → 8.35 ms).
+    s_r = jax.lax.broadcasted_iota(jnp.int32, (fold * c, c), 0) % c
+    s_c = jax.lax.broadcasted_iota(jnp.int32, (fold * c, c), 1)
+    smat = (s_r == s_c).astype(jnp.bfloat16)
     dma.wait()
     s16 = slab[...]                             # [W/F, FC] bf16 (pre-cast)
     # (stacking several neighbors into one [J·TQ, W/F] matmul was tried to
@@ -93,11 +104,10 @@ def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
     for j in range(k):
         oh = (iota_g == group[:, j][:, None]).astype(jnp.bfloat16)
         y = jnp.dot(oh, s16, preferred_element_type=jnp.float32)   # [TQ, FC]
-        y = y * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
-        acc = y[:, 0:c]
-        for r in range(1, fold):
-            acc = acc + y[:, r * c:(r + 1) * c]
-        out_ref[:, j * c:(j + 1) * c] = acc
+        ym = y * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
+        out_ref[:, j * c:(j + 1) * c] = jnp.dot(
+            ym.astype(jnp.bfloat16), smat,
+            preferred_element_type=jnp.float32)
 
 
 def _pick_fold(c: int, window: int) -> int:
