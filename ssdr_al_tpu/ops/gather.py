@@ -267,11 +267,23 @@ def _gather_window_fwd(values, idx, starts, window, tq):
             (token, idx, starts))
 
 
+def _scatter_fits_vmem(n: int, c: int, tq: int, k: int) -> bool:
+    """The scatter kernel holds the whole batch-element value slab in VMEM
+    twice (out block + accumulator) plus [tq, k·c] g/t temporaries; at
+    c=128 (pool L1, n=10240) that totals ~17M > the 16M scoped limit
+    (measured compile failure). Estimate ≈ 2·n·c·4 + 4·tq·k·c·4 bytes and
+    keep a margin; oversize cases fall back to XLA's scatter-add — the
+    same cost that call site paid before the forward flipped to the
+    kernel."""
+    return 2 * n * c * 4 + 4 * tq * k * c * 4 <= 13_000_000
+
+
 def _gather_window_bwd(window, tq, res, g):
     token, idx, starts = res
     _, b, n, c = token.shape
     fold = _pick_fold(c, window)
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and _scatter_fits_vmem(n, c, tq, idx.shape[-1])):
         dv = _scatter_window_impl(
             g.astype(jnp.float32), idx, starts, n, window, tq, fold
         )

@@ -157,6 +157,20 @@ def test_layer_shapes_smoke(rng, n, k):
     assert (idx >= 0).all() and (idx < n).all()
 
 
+class TestScatterVmemGuard:
+    """The backward scatter kernel holds the whole value slab in VMEM twice;
+    oversize shapes must take the XLA scatter-add fallback (a pool-L1-shaped
+    gather compiled into a train step OOMed the 16M scoped vmem limit when
+    this guard was missing)."""
+
+    def test_production_shapes(self):
+        from ssdr_al_tpu.ops.gather import _scatter_fits_vmem
+
+        assert _scatter_fits_vmem(40960, 16, 512, 16)      # LFA L0
+        assert _scatter_fits_vmem(40960, 32, 128, 16)      # pool L0
+        assert not _scatter_fits_vmem(10240, 128, 128, 16)  # pool L1 → XLA
+
+
 class TestSortedFastPath:
     """TPU-only: the sorted-space pyramid + windowed MXU gather fast path."""
 
