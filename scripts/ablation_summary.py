@@ -38,7 +38,8 @@ def load(path):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("inputs", nargs="+")
-    p.add_argument("--out", default="ABLATION.md")
+    p.add_argument("--out", required=True,
+               help="output markdown path (explicit: ABLATION.md is a\n               curated document — point here only on purpose)")
     p.add_argument("--header", default="")
     args = p.parse_args()
 
