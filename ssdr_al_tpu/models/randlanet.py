@@ -356,22 +356,23 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
     from ssdr_al_tpu.ops.knn import (
         SortedCloud,
         _run_window_pallas,
+        invert_permutation,
         knn_window_sorted_raw,
         knn_xla,
         morton_codes,
+        sort_by_codes,
     )
 
     GATHER_TQ = _GATHER_TQ
-    n0 = xyz.shape[0]
     lo = jnp.min(xyz, axis=0)
     hi = jnp.max(xyz, axis=0)
+    # ONE payload-carrying sort (codes, iota, x, y, z): 0.95 ms vs 5.9 ms for
+    # argsort + two O(N)-row gathers at [6,40960] (12 ns/row platform tax;
+    # scripts/profile_forward.py --sorts). inv via argsort(order) likewise
+    # beats the scatter 0.3 vs 1.6 ms.
     codes = morton_codes(xyz, lo, hi)
-    order = jnp.argsort(codes).astype(jnp.int32)       # sorted pos → orig idx
-    inv = jnp.zeros(n0, jnp.int32).at[order].set(
-        jnp.arange(n0, dtype=jnp.int32)
-    )
-    cur_x = xyz[order]
-    cur_c = codes[order]
+    cur_c, order, cur_x = sort_by_codes(codes, xyz)    # sorted pos → orig idx
+    inv = invert_permutation(order)
     cur_r = order                    # original-layer rank of each sorted row
 
     xyzs, neighs, starts_l, subs, interps, windows = [], [], [], [], [], []

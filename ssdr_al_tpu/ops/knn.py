@@ -252,6 +252,66 @@ def _knn_window_kernel(start_ref, qx_ref, sx_ref, out_ref, *, k, window,
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
+# Default engine for the window-search distance build: False = broadcast-
+# subtraction on the VPU (_knn_window_kernel), True = MXU matmul build
+# (_knn_window_kernel_mxu). Set after measurement (scripts/bench_knn_mxu.py).
+_MXU_DISTANCE_DEFAULT = False
+
+
+def _knn_window_kernel_mxu(start_ref, qx_ref, sx_ref, out_ref, *, k, window,
+                           fold=1):
+    """_knn_window_kernel with the distance build moved to the MXU.
+
+    The broadcast-subtraction build is ~11 VPU ops over [TQ, W]; the MXU is
+    idle during the search. Rewrite d2 (up to the per-row constant that
+    ordering ignores, then re-added for the sign-bit/packing trick) as
+
+        d2[q, s] = |q'|^2 + |s'|^2 - 2 q'.s'   (q' = q - c, s' = s - c)
+
+    with the -2 q'.s' term one [TQ, 8] @ [8, W] HIGHEST-precision matmul
+    (xyz in the first 3 sublanes, -2-prescaled queries). Coordinates are
+    CENTERED on the tile's first query so |q'|^2, |s'|^2 are window-scale —
+    without centering the cancellation |q|^2 - 2qs + |s|^2 loses ~10 bits
+    at room-scale coordinates and ordering drifts into the packed-index
+    mantissa bits. max(d2, 0) guards the tiny negative roundings near
+    d2 = 0 (negative f32 bit patterns break the int32 order isomorphism).
+    """
+    tq = qx_ref.shape[0]
+    start = pl.multiple_of(start_ref[pl.program_id(0)], 128)
+    s = sx_ref[:, pl.ds(start, window)]              # [8, W], xyz rows 0..2
+    # center: the window's FIRST support point, read as [1,1] slab scalars
+    # (morton-local, so all window points and queries are nearby). [1,1]
+    # broadcasts need no sublane<->lane move; rows/lanes 3..7 are zero on
+    # both sides and must STAY zero, hence the masked subtraction.
+    cx, cy, cz = s[0:1, 0:1], s[1:2, 0:1], s[2:3, 0:1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    sc = s - (cx * (row == 0) + cy * (row == 1) + cz * (row == 2)).astype(
+        jnp.float32)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    qc = qx_ref[:, 0:8] - (
+        cx * (lane8 == 0) + cy * (lane8 == 1) + cz * (lane8 == 2)
+    ).astype(jnp.float32)                            # [TQ, 8] centered
+    q2 = jnp.sum(qc * qc, axis=1, keepdims=True)     # [TQ, 1]
+    qm2 = qc * jnp.float32(-2.0)
+    y = jax.lax.dot_general(
+        qm2, sc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                # [TQ, W] = -2 q'.s'
+    s2 = jnp.sum(sc[0:3, :] * sc[0:3, :], axis=0, keepdims=True)  # [1, W]
+    d2 = jnp.maximum(y + (s2 + q2), 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, window), 1)
+    packed = (pltpu.bitcast(d2, jnp.int32) & jnp.int32(~0xFFF)) | lane
+
+    big = jnp.int32(0x7F000000)
+    cols = []
+    for _ in range(k):
+        m = jnp.min(packed, axis=1, keepdims=True)   # [TQ, 1]
+        cols.append(m & 0xFFF)
+        packed = jnp.where(packed == m, big, packed)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
 def _pick_extract_fold(window: int, fold: int = 0) -> int:
     """Strided-group pre-reduction fold for the extraction loop (fold=0 →
     default 1 = exact k-step extraction; callers may pass ≥2 for the folded
@@ -267,13 +327,16 @@ def _pick_extract_fold(window: int, fold: int = 0) -> int:
 
 
 def _run_window_pallas(s_sorted, q_sorted, starts, k, query_chunk, window,
-                       fold=0):
+                       fold=0, mxu=None):
     ns, nq = s_sorted.shape[0], q_sorted.shape[0]
     num_tiles = nq // query_chunk
     sp = jnp.zeros((8, ns), jnp.float32).at[:3, :].set(s_sorted.T)
     qp = jnp.zeros((nq, 128), jnp.float32).at[:, :3].set(q_sorted)
 
-    kernel = functools.partial(_knn_window_kernel, k=k, window=window,
+    if mxu is None:
+        mxu = _MXU_DISTANCE_DEFAULT
+    kern = _knn_window_kernel_mxu if mxu else _knn_window_kernel
+    kernel = functools.partial(kern, k=k, window=window,
                                fold=_pick_extract_fold(window, fold))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -303,10 +366,8 @@ def _knn_window_single_pallas(support, query, k, query_chunk, window, shift=0):
     hi = jnp.maximum(jnp.max(support, 0), jnp.max(query, 0))
     code_s = morton_codes(support, lo, hi, shift)
     code_q = morton_codes(query, lo, hi, shift)
-    s_order = jnp.argsort(code_s)
-    s_sorted = support[s_order]
-    code_s_sorted = code_s[s_order]
-    q_order = jnp.argsort(code_q)
+    code_s_sorted, s_order, s_sorted = sort_by_codes(code_s, support)
+    code_q_sorted, q_order, q_sorted0 = sort_by_codes(code_q, query)
 
     ns_pad = _round_up(ns, 128)
     # sentinel rows far from everything (never selected)
@@ -314,11 +375,14 @@ def _knn_window_single_pallas(support, query, k, query_chunk, window, shift=0):
         [s_sorted, jnp.full((ns_pad - ns, 3), 3e18, jnp.float32)], axis=0
     )
     nq_pad = _round_up(nq, query_chunk)
-    q_idx_pad = jnp.concatenate(
-        [q_order, jnp.full(nq_pad - nq, q_order[-1], q_order.dtype)]
+    q_sorted = jnp.concatenate(
+        [q_sorted0, jnp.broadcast_to(q_sorted0[nq - 1], (nq_pad - nq, 3))]
     )
-    q_sorted = query[q_idx_pad]
-    pos = jnp.searchsorted(code_s_sorted, code_q[q_idx_pad]).astype(jnp.int32)
+    code_q_pad = jnp.concatenate(
+        [code_q_sorted,
+         jnp.broadcast_to(code_q_sorted[nq - 1], (nq_pad - nq,))]
+    )
+    pos = jnp.searchsorted(code_s_sorted, code_q_pad).astype(jnp.int32)
     starts = jnp.clip(
         jnp.median(pos.reshape(-1, query_chunk), axis=1).astype(jnp.int32)
         - window // 2,
@@ -328,10 +392,7 @@ def _knn_window_single_pallas(support, query, k, query_chunk, window, shift=0):
     rel = _run_window_pallas(s_sorted, q_sorted, starts, k, query_chunk, window)
     out_sorted = jnp.repeat(starts, query_chunk)[:, None] + rel
     out = s_order[jnp.clip(out_sorted, 0, ns - 1)]
-    inv = jnp.zeros(nq_pad, jnp.int32).at[q_idx_pad[:nq]].set(
-        jnp.arange(nq, dtype=jnp.int32), mode="drop"
-    )
-    return out[inv[:nq]]
+    return out[invert_permutation(q_order)]
 
 
 class SortedCloud:
@@ -347,16 +408,39 @@ class SortedCloud:
         self.n_real = n_real
 
 
+def invert_permutation(order):
+    """Inverse of a permutation. argsort(order) — XLA's sort is ~5× cheaper
+    than the equivalent scatter on this platform (measured [6,40960]:
+    0.3 vs 1.6 ms; scripts/profile_forward.py --sorts)."""
+    return jnp.argsort(order).astype(jnp.int32)
+
+
+def sort_by_codes(codes, xyz):
+    """ONE payload-carrying sort returning (codes_sorted, order, xyz_sorted).
+
+    Replaces argsort + xyz row-gather + codes gather: the two O(N)-row
+    gathers pay this platform's flat ~12 ns/row tax and cost 5.3 ms at
+    [6,40960] vs 0.95 ms for the 5-operand sort (profile_forward --sorts).
+    is_stable=True keeps exact parity with the previous jnp.argsort path
+    (ties in quantized morton codes are common)."""
+    n = xyz.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    codes_s, order, xs, ys, zs = jax.lax.sort(
+        (codes, iota, xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+        num_keys=1, is_stable=True,
+    )
+    return codes_s, order, jnp.stack([xs, ys, zs], axis=-1)
+
+
 def sort_cloud(xyz, lo, hi, pad_to=128) -> "SortedCloud":
     n = xyz.shape[0]
     codes = morton_codes(xyz, lo, hi)
-    order = jnp.argsort(codes)
-    xyz_sorted = xyz[order]
+    codes_sorted, order, xyz_sorted = sort_by_codes(codes, xyz)
     n_pad = _round_up(n, pad_to)
     xyz_sorted = jnp.concatenate(
         [xyz_sorted, jnp.full((n_pad - n, 3), 3e18, jnp.float32)], axis=0
     )
-    return SortedCloud(xyz_sorted, order, codes[order], n)
+    return SortedCloud(xyz_sorted, order, codes_sorted, n)
 
 
 def knn_window_sorted_raw(sup: "SortedCloud", qry: "SortedCloud", k, *,
@@ -417,16 +501,12 @@ def knn_window_sorted(sup: "SortedCloud", qry: "SortedCloud", k, *,
     self_query=True (support IS the query cloud): each query's morton rank is
     its own position, so the per-tile window starts are static — no
     searchsorted / median reduction at all."""
-    nq = qry.n_real
     out_sorted, _ = knn_window_sorted_raw(
         sup, qry, k, query_chunk=query_chunk, window=window,
         self_query=self_query,
     )
     out = sup.order[out_sorted]
-    inv = jnp.zeros(nq, jnp.int32).at[qry.order].set(
-        jnp.arange(nq, dtype=jnp.int32)
-    )
-    return out[inv]
+    return out[invert_permutation(qry.order)]
 
 
 def _merge_probes(support, query, idx1, idx2, k):
