@@ -262,15 +262,15 @@ def main():
     lo = jnp.min(xyz, axis=1)
     hi = jnp.max(xyz, axis=1)
 
+    from ssdr_al_tpu.ops.knn import invert_permutation, sort_by_codes
+
     def msort(x, l, h, acc):
         codes = morton_codes(x + acc * 1e-30, l, h)
-        order = jnp.argsort(codes).astype(jnp.int32)
-        inv = jnp.zeros(x.shape[0], jnp.int32).at[order].set(
-            jnp.arange(x.shape[0], dtype=jnp.int32))
-        return x[order], codes[order], order, inv
+        cs, order, xs = sort_by_codes(codes, x)
+        return xs, cs, order, invert_permutation(order)
 
     timeit(jax.vmap(msort, in_axes=(0, 0, 0, None)), xyz, lo, hi,
-           iters=args.iters, label="morton+argsort+inv+gather (L0)")
+           iters=args.iters, label="morton payload-sort + inv (L0)")
 
     # per-layer kept-subset compaction (the jnp.sort in the pyramid)
     def kept_sort(r, acc, *, n_sub):
