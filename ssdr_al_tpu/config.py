@@ -46,6 +46,11 @@ class Config:
     # ~linearly with it; recall at 40960 pts: 4096→0.93, 2048→0.905.
     # Must be a multiple of 512.
     search_window: int = 4096
+    # Space-filling curve the window engine sorts along: "morton" (z-order)
+    # or "hilbert". Measured A/B (scripts/bench_curve.py): hilbert is
+    # slightly WORSE on clustered scene data at equal cost — morton stays
+    # the default; the knob exists for A/B runs on new data distributions.
+    curve: str = "morton"
 
     # --- AL loop ---
     sp_batch_size: int = 10000         # superpoint clicks per round

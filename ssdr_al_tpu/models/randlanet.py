@@ -354,12 +354,13 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
     gather kernel; smaller layers fall back to approx search + XLA gathers
     (still in sorted space)."""
     from ssdr_al_tpu.ops.knn import (
+        CURVES,
+        DEFAULT_CURVE,
         SortedCloud,
         _run_window_pallas,
         invert_permutation,
         knn_window_sorted_raw,
         knn_xla,
-        morton_codes,
         sort_by_codes,
     )
 
@@ -370,7 +371,7 @@ def _pyramid_window_sorted_single(xyz, cfg: Config):
     # argsort + two O(N)-row gathers at [6,40960] (12 ns/row platform tax;
     # scripts/profile_forward.py --sorts). inv via argsort(order) likewise
     # beats the scatter 0.3 vs 1.6 ms.
-    codes = morton_codes(xyz, lo, hi)
+    codes = CURVES[getattr(cfg, "curve", None) or DEFAULT_CURVE](xyz, lo, hi)
     cur_c, order, cur_x = sort_by_codes(codes, xyz)    # sorted pos → orig idx
     inv = invert_permutation(order)
     cur_r = order                    # original-layer rank of each sorted row

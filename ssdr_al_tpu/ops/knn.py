@@ -144,8 +144,73 @@ def morton_codes(xyz, lo, hi, shift: int = 0):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _knn_window_single(support, query, k, query_chunk, window, shift=0):
+def _hilbert_transpose(q, bits: int):
+    """Skilling's AxestoTranspose (Programming the Hilbert curve, 2004) for
+    n=3 axes, vectorized over points. q [..., 3] int32 in [0, 2**bits) →
+    list of 3 transposed-index planes (bit b of plane i is bit 3·b+(2−i) of
+    the Hilbert index). Pure bitwise ops over a static `bits`-level loop —
+    O(bits) VPU work per point, same cost class as the morton interleave."""
+    X = [q[..., 0], q[..., 1], q[..., 2]]
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        # i = 0: the exchange branch is a no-op (t = 0)
+        X[0] = jnp.where((X[0] & Q) != 0, X[0] ^ P, X[0])
+        for i in (1, 2):
+            cond = (X[i] & Q) != 0
+            t = (X[0] ^ X[i]) & P
+            x0, xi = X[0], X[i]
+            X[0] = jnp.where(cond, x0 ^ P, x0 ^ t)
+            X[i] = jnp.where(cond, xi, xi ^ t)
+        Q >>= 1
+    # Gray encode
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t = jnp.where((X[2] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    return [x ^ t for x in X]
+
+
+def hilbert_codes(xyz, lo, hi, shift: int = 0, bits: int = 10):
+    """30-bit Hilbert-curve codes over the [lo, hi] bbox.
+
+    Drop-in alternative to `morton_codes` for the window engine. The Hilbert
+    curve never jumps (consecutive codes are L1-adjacent cells; bijectivity
+    and unit-step adjacency are property-tested in
+    tests/test_knn.py::TestHilbertCurve), so in theory the same window
+    catches more true neighbors than z-order. MEASURED (scripts/
+    bench_curve.py, n=40960 k=16): on uniform data hilbert adds +0.003..+0.01
+    recall at production windows, but on clustered scene data it is -0.002..
+    -0.003 WORSE, at identical search cost (4.01 ms both at w=3840) — the
+    z-order octant jumps the Hilbert curve removes are rare exactly where
+    points cluster. Morton stays the default; this is kept as a measured
+    negative and an A/B knob (Config.curve / SSDR_CURVE). shift: same
+    shifted-grid trick as morton_codes (two-probe merge)."""
+    span = jnp.maximum(hi - lo, 1e-9)
+    top = (1 << bits) - 1
+    q = jnp.clip(((xyz - lo) / span * top).astype(jnp.int32), 0, top)
+    if shift:
+        q = (q + shift) % (top + 1)
+    x0, x1, x2 = _hilbert_transpose(q, bits)
+    return (
+        (_part1by2(x0) << 2) | (_part1by2(x1) << 1) | _part1by2(x2)
+    )
+
+
+CURVES = {"morton": morton_codes, "hilbert": hilbert_codes}
+# window-engine default space-filling curve (env-overridable for A/B runs;
+# scripts/bench_curve.py measures recall-vs-window per curve)
+import os as _os
+
+DEFAULT_CURVE = _os.environ.get("SSDR_CURVE", "morton")
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _knn_window_single(support, query, k, query_chunk, window, shift=0,
+                       curve=None):
     """Morton-window KNN: sort support and query along a z-order curve; each
     morton-contiguous query chunk searches only a `window`-sized slice of the
     sorted support centered on its median rank. Spatial locality makes the
@@ -154,10 +219,11 @@ def _knn_window_single(support, query, k, query_chunk, window, shift=0):
     depending on scene clustering (tests/test_knn.py gates it)."""
     ns, nq = support.shape[0], query.shape[0]
     window = min(window, ns)
+    codes = CURVES[curve or DEFAULT_CURVE]
     lo = jnp.minimum(jnp.min(support, 0), jnp.min(query, 0))
     hi = jnp.maximum(jnp.max(support, 0), jnp.max(query, 0))
-    code_s = morton_codes(support, lo, hi, shift)
-    code_q = morton_codes(query, lo, hi, shift)
+    code_s = codes(support, lo, hi, shift)
+    code_q = codes(query, lo, hi, shift)
 
     s_order = jnp.argsort(code_s)
     s_sorted = support[s_order]
@@ -358,14 +424,16 @@ def _run_window_pallas(s_sorted, q_sorted, starts, k, query_chunk, window,
     return rel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _knn_window_single_pallas(support, query, k, query_chunk, window, shift=0):
-    """Morton-sort wrapper around the fused kernel."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _knn_window_single_pallas(support, query, k, query_chunk, window, shift=0,
+                              curve=None):
+    """Curve-sort (morton/hilbert) wrapper around the fused kernel."""
     ns, nq = support.shape[0], query.shape[0]
+    codes_fn = CURVES[curve or DEFAULT_CURVE]
     lo = jnp.minimum(jnp.min(support, 0), jnp.min(query, 0))
     hi = jnp.maximum(jnp.max(support, 0), jnp.max(query, 0))
-    code_s = morton_codes(support, lo, hi, shift)
-    code_q = morton_codes(query, lo, hi, shift)
+    code_s = codes_fn(support, lo, hi, shift)
+    code_q = codes_fn(query, lo, hi, shift)
     code_s_sorted, s_order, s_sorted = sort_by_codes(code_s, support)
     code_q_sorted, q_order, q_sorted0 = sort_by_codes(code_q, query)
 
@@ -432,9 +500,9 @@ def sort_by_codes(codes, xyz):
     return codes_s, order, jnp.stack([xs, ys, zs], axis=-1)
 
 
-def sort_cloud(xyz, lo, hi, pad_to=128) -> "SortedCloud":
+def sort_cloud(xyz, lo, hi, pad_to=128, curve=None) -> "SortedCloud":
     n = xyz.shape[0]
-    codes = morton_codes(xyz, lo, hi)
+    codes = CURVES[curve or DEFAULT_CURVE](xyz, lo, hi)
     codes_sorted, order, xyz_sorted = sort_by_codes(codes, xyz)
     n_pad = _round_up(n, pad_to)
     xyz_sorted = jnp.concatenate(
@@ -530,7 +598,7 @@ def _merge_probes(support, query, idx1, idx2, k):
 
 
 def knn_window(support, query, k, *, query_chunk=256, window=2048,
-               impl="auto", probes=1):
+               impl="auto", probes=1, curve=None):
     """Morton-window KNN (approximate; recall ≥0.95 at the defaults on scene
     data, gated in tests). impl: 'pallas' (fused kernel, TPU), 'xla', 'auto'.
 
@@ -556,16 +624,17 @@ def knn_window(support, query, k, *, query_chunk=256, window=2048,
         single, qc_eff = _knn_window_single, max(qc, 512)
     if probes == 1:
         return _batched(single)(
-            support, query, k, query_chunk=qc_eff, window=window
+            support, query, k, query_chunk=qc_eff, window=window,
+            curve=curve,
         )
 
-    def dual(s, q, kk, query_chunk, window):
-        i1 = single(s, q, kk, query_chunk, window, 0)
-        i2 = single(s, q, kk, query_chunk, window, 512)
+    def dual(s, q, kk, query_chunk, window, curve):
+        i1 = single(s, q, kk, query_chunk, window, 0, curve)
+        i2 = single(s, q, kk, query_chunk, window, 512, curve)
         return _merge_probes(s, q, i1, i2, kk)
 
     return _batched(dual)(
-        support, query, k, query_chunk=qc_eff, window=window
+        support, query, k, query_chunk=qc_eff, window=window, curve=curve
     )
 
 
