@@ -144,6 +144,116 @@ def profile_layers(cfg, b, iters):
         d_up = d_skip
 
 
+def profile_lfa(cfg, b, iters, layer=0):
+    """Break ONE encoder DilatedResBlock into its LFA stages at production
+    shape — which of {windowed gathers, rel-pos encoding, narrow-channel
+    MLPs, attentive pooling} bounds the apply half's biggest line item
+    (encoder_0 ≈ 20 ms of the ~49 ms apply at B=6 bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssdr_al_tpu.models.randlanet import (
+        _GATHER_TQ,
+        AttPooling,
+        SharedMLP,
+        gather_neighbour_fast,
+        relative_pos_encoding,
+    )
+
+    rng = np.random.RandomState(1)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    sw = getattr(cfg, "search_window", 4096)
+    n = cfg.num_points
+    for i in range(layer):
+        n //= cfg.sub_sampling_ratio[i]
+    # DilatedResBlock(d_out=cfg.d_out[layer]): mlp_pre d_in->d_out//2,
+    # BuildingBlock(d_out): mlp1 relpos->d_mid, attpool1 -> d_out//2,
+    # attpool2 -> d_out, outer mlp2/shortcut -> 2*d_out
+    dres_d = cfg.d_out[layer]
+    d_in = 8 if layer == 0 else 2 * cfg.d_out[layer - 1]
+    d_mid = dres_d // 2      # feature dim inside the building block
+    d_half = dres_d // 2     # attpool1 output
+    k = cfg.k_n
+    w = sw if n > 16384 else sw // 2
+    sts = jnp.zeros((b, n // _GATHER_TQ), jnp.int32)
+    xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+    feat = jnp.asarray(rng.rand(b, n, d_mid).astype(np.float32)).astype(dtype)
+    neigh = jnp.asarray(rng.randint(0, w, (b, n, k)).astype(np.int32))
+
+    def dep(x, acc):
+        return x + (acc * 1e-30).astype(x.dtype)
+
+    # stage 1: fused xyz+feature windowed gather (3 + d_mid channels)
+    both0 = jnp.concatenate([xyz, feat.astype(jnp.float32)], -1)
+    timeit(lambda bth, acc: gather_neighbour_fast(
+        dep(bth, acc), neigh, sts, w),
+        both0, iters=iters, label=f"L{layer} gather1 c={3 + d_mid}")
+    nb_xyz = jax.jit(lambda: gather_neighbour_fast(
+        both0, neigh, sts, w)[..., :3])()
+
+    # stage 2: relative position encoding -> [B,N,k,10]
+    timeit(lambda x, nx, acc: relative_pos_encoding(
+        dep(x, acc), neigh, nx),
+        xyz, nb_xyz, iters=iters, label=f"L{layer} relpos [B,{n},{k},10]")
+    f_xyz10 = jax.jit(
+        lambda: relative_pos_encoding(xyz, neigh, nb_xyz).astype(dtype))()
+
+    # stage 3: SharedMLP on [B,N,k,10] -> d_mid
+    mlp1 = SharedMLP(d_mid, dtype=dtype)
+    v1 = jax.jit(lambda x: mlp1.init(jax.random.PRNGKey(0), x, False))(f_xyz10)
+    timeit(lambda x, acc: mlp1.apply(v1, dep(x, acc), False),
+           f_xyz10, iters=iters, label=f"L{layer} mlp1 10->{d_mid} on k-dim")
+    f_xyz = jax.jit(lambda: mlp1.apply(v1, f_xyz10, False))()
+
+    # stage 4: attentive pooling over k at d=2*d_mid
+    f_concat = jnp.concatenate(
+        [jax.jit(lambda: gather_neighbour_fast(
+            both0, neigh, sts, w)[..., 3:].astype(dtype))(), f_xyz], -1)
+    ap1 = AttPooling(d_half, dtype=dtype)
+    va = jax.jit(lambda x: ap1.init(jax.random.PRNGKey(0), x, False))(f_concat)
+    timeit(lambda x, acc: ap1.apply(va, dep(x, acc), False),
+           f_concat, iters=iters,
+           label=f"L{layer} attpool d={2 * d_mid}->{d_half}")
+    f_agg = jax.jit(lambda: ap1.apply(va, f_concat, False))()
+
+    # stage 5: second windowed gather (d_half channels, f32 slab)
+    timeit(lambda f, acc: gather_neighbour_fast(
+        dep(f, acc).astype(jnp.float32), neigh, sts, w),
+        f_agg, iters=iters, label=f"L{layer} gather2 c={d_half}")
+
+    # stage 6: mlp2 on the k-dim rel-pos features
+    mlp2 = SharedMLP(d_half, dtype=dtype)
+    v2 = jax.jit(lambda x: mlp2.init(jax.random.PRNGKey(0), x, False))(f_xyz)
+    timeit(lambda x, acc: mlp2.apply(v2, dep(x, acc), False),
+           f_xyz, iters=iters, label=f"L{layer} mlp2 {d_mid}->{d_half} k-dim")
+
+    # stage 7: second att pooling -> dres_d
+    f_concat2 = jnp.concatenate(
+        [jax.jit(lambda: gather_neighbour_fast(
+            f_agg.astype(jnp.float32), neigh, sts, w).astype(dtype))(),
+         jax.jit(lambda: mlp2.apply(v2, f_xyz, False))()], -1)
+    ap2 = AttPooling(dres_d, dtype=dtype)
+    vb = jax.jit(
+        lambda x: ap2.init(jax.random.PRNGKey(0), x, False))(f_concat2)
+    timeit(lambda x, acc: ap2.apply(vb, dep(x, acc), False),
+           f_concat2, iters=iters,
+           label=f"L{layer} attpool2 d={2 * d_half}->{dres_d}")
+
+    # stage 8: the block's outer point MLPs (mlp_pre, mlp_post, shortcut)
+    f_in = jnp.asarray(rng.rand(b, n, d_in).astype(np.float32)).astype(dtype)
+    pre = SharedMLP(d_mid, dtype=dtype)
+    vp = jax.jit(lambda x: pre.init(jax.random.PRNGKey(0), x, False))(f_in)
+    timeit(lambda x, acc: pre.apply(vp, dep(x, acc), False),
+           f_in, iters=iters, label=f"L{layer} outer mlp {d_in}->{d_mid}")
+    f_blk = jnp.asarray(
+        rng.rand(b, n, dres_d).astype(np.float32)).astype(dtype)
+    post = SharedMLP(2 * dres_d, act=False, dtype=dtype)
+    vo = jax.jit(lambda x: post.init(jax.random.PRNGKey(0), x, False))(f_blk)
+    timeit(lambda x, acc: post.apply(vo, dep(x, acc), False),
+           f_blk, iters=iters,
+           label=f"L{layer} outer mlp {dres_d}->{2 * dres_d}")
+
+
 def profile_sorts(b, n, iters):
     """Variants of the pyramid's morton stage (codes→order→sorted xyz + inv):
     where do the 9+ ms go — the sort itself, the row gathers (12 ns/row on
@@ -196,7 +306,19 @@ def main():
                    help="skip the full/pyramid/apply stage timings")
     p.add_argument("--sorts", action="store_true",
                    help="morton-stage variant microbenches only")
+    p.add_argument("--lfa", type=int, default=-1, metavar="LAYER",
+                   help="encoder-block LFA stage breakdown at this layer")
     args = p.parse_args()
+    if args.lfa >= 0:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        from ssdr_al_tpu.config import get_config
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), compute_dtype="bfloat16")
+        profile_lfa(cfg, args.batch, args.iters, layer=args.lfa)
+        return
     if args.sorts:
         import jax
 
