@@ -41,6 +41,7 @@ to 0.55); the broadcast-subtraction forms are exact f32 on the VPU.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -203,8 +204,6 @@ def hilbert_codes(xyz, lo, hi, shift: int = 0, bits: int = 10):
 CURVES = {"morton": morton_codes, "hilbert": hilbert_codes}
 # window-engine default space-filling curve (env-overridable for A/B runs;
 # scripts/bench_curve.py measures recall-vs-window per curve)
-import os as _os
-
 DEFAULT_CURVE = _os.environ.get("SSDR_CURVE", "morton")
 
 
