@@ -504,7 +504,14 @@ class RandLANet(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, features, pyramid: Pyramid, train: bool = False):
+    def __call__(self, features, pyramid: Pyramid, train: bool = False,
+                 unsort: bool = True):
+        """unsort=False (sorted pyramids only) returns logits/penultimate in
+        MORTON-SORTED row order, skipping the two [B,N]-row unsort gathers
+        (~3 ms each at B=6×40960 on this platform, plus their backward
+        scatters). Safe whenever the consumer is order-invariant (the train
+        loss averages over points) or gathers its own per-point side inputs
+        by pyramid.order instead (train/trainer.py::make_train_step)."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         sorted_mode = isinstance(pyramid, SortedPyramid)
@@ -559,7 +566,7 @@ class RandLANet(nn.Module):
         logits = nn.Dense(
             cfg.num_classes, kernel_init=_CONV_INIT, name="fc"
         )(f.astype(jnp.float32))
-        if sorted_mode:
+        if sorted_mode and unsort:
             logits = jnp.take_along_axis(
                 logits, pyramid.inv[..., None], axis=1
             )

@@ -31,6 +31,7 @@ from flax.training import train_state
 from ssdr_al_tpu.config import Config, class_weights as get_class_weights
 from ssdr_al_tpu.models.randlanet import (
     RandLANet,
+    SortedPyramid,
     build_pyramid,
     label_reduce_table,
     masked_weighted_ce,
@@ -95,16 +96,31 @@ def make_train_step(model: RandLANet, cfg: Config,
     def train_step(state: TrainState, batch, rng):
         pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
         dropout_rng = jax.random.fold_in(rng, state.step)
+        # sorted fast path: the CE loss averages over points, so instead of
+        # unsorting 13+32 channels of logits/penultimate (two [B,N]-row
+        # gathers + backward scatters, ~6 ms/step at B=6×40960) permute the
+        # three 1-column label/mask inputs into sorted order
+        sorted_mode = isinstance(pyramid, SortedPyramid)
+        if sorted_mode:
+            order = pyramid.order
+            pseudo = jnp.take_along_axis(batch["pseudo"], order, axis=1)
+            labels = jnp.take_along_axis(batch["labels"], order, axis=1)
+            activation = jnp.take_along_axis(
+                batch["activation"], order, axis=1)
+        else:
+            pseudo, labels = batch["pseudo"], batch["labels"]
+            activation = batch["activation"]
 
         def loss_fn(params):
             (logits, _), new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["features"], pyramid, True,
+                unsort=not sorted_mode,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
             loss, acc = masked_weighted_ce(
-                logits, batch["pseudo"], batch["activation"], batch["labels"],
+                logits, pseudo, activation, labels,
                 weights, cfg.ignored_label_inds, table,
             )
             return loss, (acc, new_state["batch_stats"], batch["activation"].sum())

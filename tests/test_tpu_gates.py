@@ -54,6 +54,62 @@ class TestWindowRecallProduction:
         assert r_model >= 0.93, f"model-window recall {r_model:.4f}"
 
 
+class TestSortedLossPath:
+    def test_sorted_loss_equals_unsorted(self, rng):
+        """The trainer's sorted fast path (consume logits in morton-sorted
+        order, permute the 1-column labels/masks by pyramid.order instead of
+        unsorting 13+32 channels — make_train_step) must be EXACTLY the same
+        loss as unsorting the same logits via pyramid.inv: one apply, two
+        loss computations, no dropout redraw."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ssdr_al_tpu.config import ConfigS3DIS
+        from ssdr_al_tpu.models.randlanet import (
+            RandLANet,
+            SortedPyramid,
+            build_pyramid,
+            masked_weighted_ce,
+        )
+
+        cfg = dataclasses.replace(
+            ConfigS3DIS, num_points=8192, num_classes=8,
+            ignored_label_inds=(), compute_dtype="float32")
+        b, n = 2, cfg.num_points
+        xyz = jnp.asarray((rng.rand(b, n, 3) * 10).astype(np.float32))
+        feats = jnp.concatenate(
+            [xyz, jnp.asarray(rng.rand(b, n, 3).astype(np.float32))], -1)
+        pseudo = jnp.asarray(rng.randint(0, 8, (b, n)).astype(np.int32))
+        labels = jnp.asarray(rng.randint(0, 8, (b, n)).astype(np.int32))
+        act = jnp.asarray((rng.rand(b, n) > 0.3).astype(np.float32))
+        weights = np.ones(8, np.float32)
+        model = RandLANet(cfg)
+
+        @jax.jit
+        def both_losses(key, xyz, feats, pseudo, labels, act):
+            pyr = build_pyramid(xyz, cfg)
+            assert isinstance(pyr, SortedPyramid)
+            v = model.init({"params": key}, feats, pyr, False)
+            logits_sorted, _ = model.apply(v, feats, pyr, False, unsort=False)
+            loss_sorted, acc_sorted = masked_weighted_ce(
+                logits_sorted,
+                jnp.take_along_axis(pseudo, pyr.order, axis=1),
+                jnp.take_along_axis(act, pyr.order, axis=1),
+                jnp.take_along_axis(labels, pyr.order, axis=1),
+                weights)
+            logits_orig = jnp.take_along_axis(
+                logits_sorted, pyr.inv[..., None], axis=1)
+            loss_orig, acc_orig = masked_weighted_ce(
+                logits_orig, pseudo, act, labels, weights)
+            return loss_sorted, loss_orig, acc_sorted, acc_orig
+
+        ls, lo, as_, ao = both_losses(
+            jax.random.PRNGKey(0), xyz, feats, pseudo, labels, act)
+        np.testing.assert_allclose(float(ls), float(lo), rtol=1e-5)
+        np.testing.assert_allclose(float(as_), float(ao), rtol=1e-5)
+
+
 def _al_args(tmp_path, dtype):
     return argparse.Namespace(
         dataset="S3DIS", data_root=os.path.join(str(tmp_path), dtype, "data"),
