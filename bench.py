@@ -138,12 +138,18 @@ def measure_train_step(batch_size: int, iters: int = 8):
 def measure_window_recall(n: int = 40960, k: int = 16):
     """Recall of the window KNN engine vs exact XLA KNN on one block
     (regression gate for the Pallas/window kernel, VERDICT round-1 #7).
-    Returns (engine-default recall, recall at the model's L0 search window
-    3840 — the recall the RandLA-Net pyramid actually runs at)."""
+    Returns (engine-default recall, recall at the model's L0 window —
+    cfg.search_window minus the gather-tile merge derate, the recall the
+    RandLA-Net pyramid actually runs at — and that window size). Uniform
+    random blocks are the engine's WORST case; clustered scene data runs
+    ~0.95+ at the same window (scripts/bench_window_quality.py)."""
     import jax.numpy as jnp
 
+    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.models.randlanet import _GATHER_TQ
     from ssdr_al_tpu.ops.knn import knn
 
+    w_model = ConfigS3DIS.search_window - max(0, _GATHER_TQ - 256)
     rng = np.random.RandomState(0)
     xyz = (rng.rand(1, n, 3) * 10).astype(np.float32)
     x = jnp.asarray(xyz)
@@ -157,8 +163,8 @@ def measure_window_recall(n: int = 40960, k: int = 16):
 
     r_default = recall(np.asarray(knn(x, x, k, engine="window"))[0])
     r_model = recall(
-        np.asarray(knn(x, x, k, engine="window", window=3840))[0])
-    return r_default, r_model
+        np.asarray(knn(x, x, k, engine="window", window=w_model))[0])
+    return r_default, r_model, w_model
 
 
 def measure_reference_tfmap(batch_size: int = 1):
@@ -624,7 +630,7 @@ def main():
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
     train_pps = measure_train_step(batch)
-    recall, recall_model = measure_window_recall()
+    recall, recall_model, w_model = measure_window_recall()
     # best-of-2 single-worker host tf_map, then credit the reference its
     # 6 DataLoader workers with ideal linear scaling (see module docstring)
     host_1w = max(measure_reference_tfmap(1) for _ in range(2))
@@ -642,7 +648,7 @@ def main():
         "host_tfmap_1worker_points_per_sec": round(host_1w, 1),
         "host_tfmap_6worker_points_per_sec": round(host_6w, 1),
         "knn_window_recall_at_16": round(recall, 4),
-        "knn_window_recall_at_16_model_w3840": round(recall_model, 4),
+        f"knn_window_recall_at_16_model_w{w_model}": round(recall_model, 4),
     }
     if not args.skip_selection:
         dt, clouds, pts, phases, ref = measure_selection_round(

@@ -43,9 +43,16 @@ class Config:
     # Morton search window for big (>16384-pt) pyramid layers, BEFORE the
     # gather-tile merge derate (models/randlanet.py). Mid layers use half.
     # Speed/recall knob: the search+gather cost of the two big layers scales
-    # ~linearly with it; recall at 40960 pts: 4096→0.93, 2048→0.905.
+    # ~linearly with it. Default 2048 (model window 1792): engine recall at
+    # the production shapes is 0.90 uniform / 0.956 scene (40960) and
+    # 0.895/0.961 (65536), and the MODEL is insensitive — a trained net's
+    # predictions agree 0.996 with an exact-KNN pyramid, and a same-seed
+    # 600-step training run matches-or-beats sw=4096 (scripts/
+    # bench_window_quality.py) — while the forward is 19% faster
+    # (78.3 -> 65.7 ms at B=6 bf16). sw=4096 recovers the old 0.93-recall
+    # configuration; 3072 is K-misaligned and SLOWER than either.
     # Must be a multiple of 512.
-    search_window: int = 4096
+    search_window: int = 2048
     # Space-filling curve the window engine sorts along: "morton" (z-order)
     # or "hilbert". Measured A/B (scripts/bench_curve.py): hilbert is
     # slightly WORSE on clustered scene data at equal cost — morton stays

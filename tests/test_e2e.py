@@ -103,12 +103,12 @@ def test_cli_overrides_plumb(tmp_path):
     """--compute_dtype / --search_window reach the Config (cli/common.py)."""
     from ssdr_al_tpu.cli.common import setup_experiment
 
-    args = make_args(tmp_path, compute_dtype="bfloat16", search_window=2048)
+    args = make_args(tmp_path, compute_dtype="bfloat16", search_window=4096)
     exp = setup_experiment(args)
     assert exp.cfg.compute_dtype == "bfloat16"
-    assert exp.cfg.search_window == 2048
+    assert exp.cfg.search_window == 4096
 
     args = make_args(tmp_path)  # defaults untouched
     exp = setup_experiment(args)
     assert exp.cfg.compute_dtype == "float32"
-    assert exp.cfg.search_window == 4096
+    assert exp.cfg.search_window == 2048

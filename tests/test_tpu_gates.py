@@ -27,11 +27,16 @@ pytestmark = pytest.mark.skipif(
 
 class TestWindowRecallProduction:
     def test_recall_at_40960(self, rng):
-        """Recall vs exact XLA KNN at the bench's production block shape.
-        Regression floor = round-2 measured values minus noise margin
-        (0.9048 engine / 0.9302 model window, BENCH_r02)."""
+        """Recall vs exact XLA KNN at the bench's production block shape on
+        UNIFORM data (the engine's worst case; scene data runs ~0.95+).
+        Floors: measured values minus noise margin — 0.9048 engine default /
+        0.9302 at the legacy w=3840 (BENCH_r02) / 0.9005 at the production
+        w=1792 (the search_window=2048 default; model-quality evidence for
+        that default in scripts/bench_window_quality.py + config.py)."""
         import jax.numpy as jnp
 
+        from ssdr_al_tpu.config import ConfigS3DIS
+        from ssdr_al_tpu.models.randlanet import _GATHER_TQ
         from ssdr_al_tpu.ops.knn import knn
 
         n, k = 40960, 16
@@ -47,11 +52,17 @@ class TestWindowRecallProduction:
             return hits / (len(rows) * k)
 
         r_default = recall(np.asarray(knn(x, x, k, engine="window"))[0])
-        r_model = recall(
+        r_legacy = recall(
             np.asarray(knn(x, x, k, engine="window", window=3840))[0]
         )
+        w_model = ConfigS3DIS.search_window - max(0, _GATHER_TQ - 256)
+        r_model = recall(
+            np.asarray(knn(x, x, k, engine="window", window=w_model))[0]
+        )
         assert r_default >= 0.90, f"engine-default recall {r_default:.4f}"
-        assert r_model >= 0.93, f"model-window recall {r_model:.4f}"
+        assert r_legacy >= 0.93, f"w=3840 recall {r_legacy:.4f}"
+        assert r_model >= 0.885, (
+            f"production-window (w={w_model}) recall {r_model:.4f}")
 
 
 class TestSortedLossPath:
