@@ -105,9 +105,14 @@ def _gather_kernel(start_ref, idx_ref, f_hbm, out_ref, slab, sem,
         oh = (iota_g == group[:, j][:, None]).astype(jnp.bfloat16)
         y = jnp.dot(oh, s16, preferred_element_type=jnp.float32)   # [TQ, FC]
         ym = y * (lane_blk == within[:, j][:, None]).astype(jnp.float32)
+        # bf16 store is LOSSLESS (values were rounded to bf16 at the slab
+        # cast; each ym row holds one surviving bf16 value per lane) and
+        # halves the [B·Nq, k·C] output write — the gather's cost is
+        # output-HBM-bound, not window-bound, at production shapes
+        # (W 4096→2048 moved it only 8.35→~7.5 ms; bf16 out is the lever)
         out_ref[:, j * c:(j + 1) * c] = jnp.dot(
             ym.astype(jnp.bfloat16), smat,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
 def _pick_fold(c: int, window: int) -> int:
@@ -123,8 +128,9 @@ def _pick_fold(c: int, window: int) -> int:
 def gather_window(values, idx, starts, window: int, tq: int = 128):
     """values [B, N, C]; idx [B, Nq, k] row indices with the guarantee
     idx[b, t·tq:(t+1)·tq] ∈ [starts[b,t], starts[b,t]+window); starts
-    [B, Nq/tq] int32, 128-aligned. Returns [B, Nq, k, C] float32 (values
-    rounded to bf16).
+    [B, Nq/tq] int32, 128-aligned. Returns [B, Nq, k, C] bfloat16 (values
+    are rounded to bf16 for the MXU one-hot matmul, so the bf16 output is
+    exact; it also halves the dominant HBM write).
 
     N must be a multiple of 128, Nq a multiple of tq, and k·C a multiple
     of 128 (pad C with pad_channels — pad channels ride for free)."""
@@ -170,7 +176,7 @@ def _gather_window_impl(values, idx, starts, window, tq, fold=None):
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * nq, k * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * nq, k * c), jnp.bfloat16),
     )(starts_f, idx_f, values_f)
     return out.reshape(b, nq, k, c)
 
@@ -269,13 +275,14 @@ def _gather_window_fwd(values, idx, starts, window, tq):
 
 def _scatter_fits_vmem(n: int, c: int, tq: int, k: int) -> bool:
     """The scatter kernel holds the whole batch-element value slab in VMEM
-    twice (out block + accumulator) plus [tq, k·c] g/t temporaries; at
-    c=128 (pool L1, n=10240) that totals ~17M > the 16M scoped limit
-    (measured compile failure). Estimate ≈ 2·n·c·4 + 4·tq·k·c·4 bytes and
-    keep a margin; oversize cases fall back to XLA's scatter-add — the
-    same cost that call site paid before the forward flipped to the
-    kernel."""
-    return 2 * n * c * 4 + 4 * tq * k * c * 4 <= 13_000_000
+    THREE times (out block + accumulator + the out-write copy) plus
+    [tq, k·c] g/t temporaries; at c=128 (pool L1, n=10240) that blows the
+    16M scoped limit (measured compile failure), and with the bf16 gather
+    output the pool-L0 shape (n=40960, c=32, tq=128) measured 16.86M —
+    matching 3·n·c·4 + 4·tq·k·c·4, not the 2· model this gate first used.
+    Oversize cases fall back to XLA's scatter-add — the same cost that
+    call site paid before the forward flipped to the kernel."""
+    return 3 * n * c * 4 + 4 * tq * k * c * 4 <= 13_000_000
 
 
 def _gather_window_bwd(window, tq, res, g):
@@ -320,7 +327,8 @@ def gather_window_auto(values, idx, window: int, tq: int = 128):
     (requires a ~10σ density fluctuation of the random kept subset; measured
     zero violations at production sizes, gated in tests/test_knn.py).
 
-    Returns [B, Nq, k, C] float32 (values rounded to bf16, as gather_window).
+    Returns [B, Nq, k, C] bfloat16 (exact for bf16-rounded values, as
+    gather_window).
     """
     n = values.shape[1]
     window = min(window, n)

@@ -214,7 +214,9 @@ class TestScatterVmemGuard:
         from ssdr_al_tpu.ops.gather import _scatter_fits_vmem
 
         assert _scatter_fits_vmem(40960, 16, 512, 16)      # LFA L0
-        assert _scatter_fits_vmem(40960, 32, 128, 16)      # pool L0
+        # pool L0 measured 16.86M scoped with the bf16 gather output
+        # (3·n·c·4 + 4·tq·k·c·4) → must take the XLA scatter-add fallback
+        assert not _scatter_fits_vmem(40960, 32, 128, 16)
         assert not _scatter_fits_vmem(10240, 128, 128, 16)  # pool L1 → XLA
 
 
