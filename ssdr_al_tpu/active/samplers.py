@@ -88,14 +88,21 @@ class InferenceRunner:
     inference, SURVEY §5)."""
 
     def __init__(self, cfg: Config, clouds: List[Cloud], eval_step, state,
-                 point_unc_mode: str, seed: int = 0, chunk_batch: int = 8,
+                 point_unc_mode: str, seed: int = 0, chunk_batch: int = 0,
                  mesh=None):
         self.cfg = cfg
         self.clouds = {c.name: c for c in clouds}
         self.eval_step = eval_step
         self.state = state
         self.mode = point_unc_mode
-        self.chunk_batch = chunk_batch
+        # default group size adapts to the chunk size under a ~330k-point
+        # per-call budget (capped at 32): small 4096-pt selection chunks
+        # group 32-wide (200-cloud prediction 5.38 -> 4.71 s, measured by
+        # scripts/bench_chunk_batch.py), while 40960-pt flagship chunks
+        # keep the proven cb=8 — larger live buffers risk the platform's
+        # >500 MB worker crash (CLAUDE.md)
+        self.chunk_batch = chunk_batch or min(
+            32, max(8, 327_680 // cfg.num_points))
         self.mesh = mesh
         self.pipe = SamplingPipeline(clouds, cfg, seed=seed)
 
