@@ -659,17 +659,30 @@ class TSampler:
         )
 
         # region features: mean penultimate feature over dominant point ids
-        # (compute_features, sampler2.py:313-342) — reusing the pass-1 features
+        # (compute_features, sampler2.py:313-342) — reusing the pass-1
+        # features. Vectorized per cloud: one fancy-index gather over the
+        # concatenated dominant ids + np.add.reduceat segment sums instead
+        # of a per-region python loop (up to 2·B + anchors ≈ 20k regions at
+        # the 200-cloud/10000-click scale — the loop was the diversity
+        # phase's host bottleneck)
         feats = np.zeros((graph.num_regions, 32), np.float32)
         unlabeled_flags = np.zeros(graph.num_regions, bool)
+        by_cloud: Dict[str, List[int]] = {}
         for i, ref in enumerate(graph.refs):
-            pen = inference.get(ref.cloud_name)
+            unlabeled_flags[i] = not ref.is_labeled
+            by_cloud.setdefault(ref.cloud_name, []).append(i)
+        for name, idxs in by_cloud.items():
+            pen = inference.get(name)
             if pen is None:
                 # anchor cloud not among candidate clouds: run features lazily
                 # (rare; anchors live in labeled clouds which were all inferred)
-                raise RuntimeError(f"missing inference for {ref.cloud_name}")
-            feats[i] = pen.penult[ref.dominant_point_ids].astype(np.float32).mean(0)
-            unlabeled_flags[i] = not ref.is_labeled
+                raise RuntimeError(f"missing inference for {name}")
+            ids = [graph.refs[i].dominant_point_ids for i in idxs]
+            lens = np.array([len(x) for x in ids], np.int64)
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rows = pen.penult[np.concatenate(ids)].astype(np.float32)
+            sums = np.add.reduceat(rows, offsets, axis=0)
+            feats[np.asarray(idxs)] = sums / lens[:, None]
 
         if a.diversity == "gcn_fps":
             return gcn_fps_sampling(
