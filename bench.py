@@ -70,7 +70,11 @@ def measure_tpu(batch_size: int, iters: int = 10, dataset: str = "S3DIS"):
 
     def fwd(xyz, feats):
         pyr = build_pyramid(xyz, cfg)
-        logits, _ = model.apply(variables, feats, pyr, False)
+        # unsort=False: the production eval path runs sorted outputs
+        # (make_eval_step(sorted_outputs=True)) — consumers permute their
+        # host index maps by pyramid.order, so the forward legitimately
+        # skips the two [B,N]-row head unsort gathers (~24 ns/point)
+        logits, _ = model.apply(variables, feats, pyr, False, unsort=False)
         return logits
 
     @jax.jit
@@ -258,7 +262,7 @@ def _make_selection_sampler(train, state, total, points_per_chunk=4096):
         "features": rng.rand(1, cfg.num_points, 6).astype(np.float32),
     }
     mstate = create_train_state(model, cfg, jax.random.PRNGKey(0), sample, 500)
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, sorted_outputs=True)
     sampler = TSampler(
         state, train, cfg,
         TSamplerArgs(diversity="gcn_fps", oracle_mode="NAIL",

@@ -35,6 +35,9 @@ def main():
     p.add_argument("--points", type=int, default=4096)
     p.add_argument("--budget", type=int, default=10000)
     p.add_argument("--target_sp", type=int, default=256)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="number of measured rounds after the warm round "
+                        "(steady-state check: drifting shapes recompile)")
     p.add_argument("--seed_div", type=int, default=20,
                    help="seed labels sp_num/seed_div superpoints")
     p.add_argument("--reference", action="store_true",
@@ -98,15 +101,17 @@ def main():
             "phases": {k: round(v, 2) for k, v in sampler.phase_times.items()},
         }), flush=True)
 
-        t0 = time.perf_counter()
-        stats = RoundStats()
-        sampler.sampling(eval_step, mstate, args.budget, 2, stats)
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "event": "measured_round", "wall_s": round(dt, 2),
-            "phases": {k: round(v, 2) for k, v in sampler.phase_times.items()},
-            "stats": stats.as_dict(),
-        }), flush=True)
+        for r in range(2, 2 + args.rounds):
+            t0 = time.perf_counter()
+            stats = RoundStats()
+            sampler.sampling(eval_step, mstate, args.budget, r, stats)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "event": "measured_round", "round": r, "wall_s": round(dt, 2),
+                "phases": {k: round(v, 2)
+                           for k, v in sampler.phase_times.items()},
+                "stats": stats.as_dict(),
+            }), flush=True)
 
         if args.reference:
             ref = bench.measure_reference_selection(

@@ -21,7 +21,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks, pad_superpoints
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks
+
+
+# geometric shape ladders for the chamfer blocks (see build_region_graph):
+# ~1.41× steps bound padding waste at ≤2× per axis while keeping the set of
+# compiled shapes small and ROUND-STABLE (drifting exact sizes recompile)
+_S_LADDER = [16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+             1536, 2048, 3072, 4096]
+_P_LADDER = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _ladder(n: int, ladder) -> int:
+    """Smallest ladder value ≥ n (last rung caps; callers cap P themselves)."""
+    for v in ladder:
+        if v >= n:
+            return v
+    return ladder[-1] if n <= ladder[-1] else -(-n // 128) * 128
 
 
 @dataclasses.dataclass
@@ -55,6 +71,50 @@ class RegionGraph:
 def bbox_center(points: np.ndarray) -> np.ndarray:
     """(min+max)/2 per axis — sampler2.py:570-573."""
     return (points.min(axis=0) + points.max(axis=0)) / 2.0
+
+
+def pad_regions_vectorized(
+    xyz: np.ndarray,
+    ids_list: List[np.ndarray],
+    max_points: Optional[int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized equivalent of [bbox_center(xyz[ids]) …] + pad_superpoints.
+
+    Returns (centroids [S,3], pts [S,P,3] centered, mask [S,P]). One xyz
+    gather + min/max reduceat replaces the per-region python loop (the
+    diversity phase's host bottleneck at 200-cloud scale: ~20k regions/round
+    each paid a fancy-index, two reductions and a padded copy).
+
+    Exact parity with the loop form, including np.linspace's pinned endpoint
+    for regions larger than the cap (linspace assigns y[-1] = stop exactly;
+    a pure arange·step product can truncate one index lower).
+    """
+    s = len(ids_list)
+    sizes = np.fromiter((len(i) for i in ids_list), np.int64, count=s)
+    allids = np.concatenate(ids_list) if s else np.zeros(0, np.int64)
+    offsets = np.zeros(s, np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    pts_all = xyz[allids].astype(np.float32, copy=False)
+    mins = np.minimum.reduceat(pts_all, offsets, axis=0)
+    maxs = np.maximum.reduceat(pts_all, offsets, axis=0)
+    centroids = (mins + maxs) / 2.0
+
+    p = int(sizes.max()) if s else 1
+    if max_points is not None and p > max_points:
+        p = max_points
+    j = np.arange(p, dtype=np.int64)
+    # subsampled regions: np.linspace(0, L-1, p) == arange(p)·((L-1)/(p-1))
+    # with the endpoint pinned to L-1 (pad_superpoints semantics)
+    step = (sizes - 1) / max(p - 1, 1)
+    pos = (j[None, :] * step[:, None]).astype(np.int64)
+    pos[:, -1] = sizes - 1
+    small = sizes <= p
+    pos[small] = np.minimum(j[None, :], (sizes[small] - 1)[:, None])
+    msk = j[None, :] < np.minimum(sizes, p)[:, None]
+    idx = allids[offsets[:, None] + pos]
+    pts = xyz[idx].astype(np.float32) - centroids[:, None, :]
+    pts[~msk] = 0.0
+    return centroids, pts, msk
 
 
 def build_region_graph(
@@ -99,27 +159,42 @@ def build_region_graph(
         regs = regions_by_cloud[name]
         xyz = cloud_xyz[name]
         comps = components[name]
-        sp_points = [xyz[comps[sp_idx]] for sp_idx, _, _ in regs]
-        centroids = np.stack([bbox_center(p) for p in sp_points])
-        pts, msk = pad_superpoints(sp_points, max_points=max_points_per_sp)
-        p_bucket = 64
-        while p_bucket < msk.shape[1]:
-            p_bucket *= 2
-        per_cloud.append((name, regs, centroids, pts, msk, p_bucket))
+        centroids, pts, msk = pad_regions_vectorized(
+            xyz, [comps[sp_idx] for sp_idx, _, _ in regs], max_points_per_sp
+        )
+        # per-cloud buckets: chamfer work is O(S²·P²), so padding every
+        # cloud to the GLOBAL s_max (or a 64-point P floor when superpoints
+        # are small) wastes quadratically. Buckets must also be COARSE:
+        # candidate/anchor counts drift per AL round, and fine (16-mult)
+        # buckets produced new shapes every round — recompiling the chamfer
+        # program cost far more than the padding it saved (measured: 16-mult
+        # S buckets took the 200-cloud diversity phase 3.9 → 10.7 s).
+        # Geometric ladders bound the waste (≤ ~2.3× in S²) with a handful
+        # of stable shapes that the persistent compile cache retains.
+        s_bucket = _ladder(len(regs), _S_LADDER)
+        p_bucket = _ladder(msk.shape[1], _P_LADDER)
+        per_cloud.append((name, regs, centroids, pts, msk,
+                          (s_bucket, p_bucket)))
 
-    cd_by_cloud = {}
-    for p in sorted({pc[5] for pc in per_cloud}):
-        group = [pc for pc in per_cloud if pc[5] == p]
-        pts_g = np.zeros((len(group), s_max, p, 3), np.float32)
-        msk_g = np.zeros((len(group), s_max, p), bool)
+    # enqueue every group's chamfer before converting any result: each
+    # conversion blocks on the device, and groups are independent
+    launched = []
+    for sb, p in sorted({pc[5] for pc in per_cloud}):
+        group = [pc for pc in per_cloud if pc[5] == (sb, p)]
+        g = -(-len(group) // 8) * 8  # block count in 8s (drifts per round)
+        pts_g = np.zeros((g, sb, p, 3), np.float32)
+        msk_g = np.zeros((g, sb, p), bool)
         for gi, (_, _, _, pts, msk, _) in enumerate(group):
             pts_g[gi, : pts.shape[0], : pts.shape[1]] = pts
             msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
         # chamfer_pairwise chunks its own target dim to a bounded live
         # block, so a fixed row_chunk is safe at any S/P
-        cd_g = np.asarray(chamfer_pairwise_blocks(
+        launched.append((group, chamfer_pairwise_blocks(
             jnp.asarray(pts_g), jnp.asarray(msk_g), 8
-        ))
+        )))
+    cd_by_cloud = {}
+    for group, cd_dev in launched:
+        cd_g = np.asarray(cd_dev)
         for gi, (name, _, _, _, _, _) in enumerate(group):
             cd_by_cloud[name] = cd_g[gi]
 

@@ -26,7 +26,11 @@ from ssdr_al_tpu.active.oracle import (
     oracle_labeling,
     seed_labeling,
 )
-from ssdr_al_tpu.active.region_graph import RegionRef, build_region_graph
+from ssdr_al_tpu.active.region_graph import (
+    RegionRef,
+    build_region_graph,
+    pad_regions_vectorized,
+)
 from ssdr_al_tpu.active.state import ALState, RoundStats
 from ssdr_al_tpu.active.uncertainty import (
     add_classbal,
@@ -37,7 +41,7 @@ from ssdr_al_tpu.active.uncertainty import (
 from ssdr_al_tpu.config import Config
 from ssdr_al_tpu.data.cloud import Cloud
 from ssdr_al_tpu.data.dataset import SamplingPipeline
-from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise
 from ssdr_al_tpu.ops.fps import farthest_superpoint_sample
 from ssdr_al_tpu.ops.segment import segment_majority
 from ssdr_al_tpu.active.region_graph import bbox_center
@@ -66,6 +70,20 @@ def spread_budget_over_clouds(rng, total_num, number, cloud_names):
     for ind in rand_inds:
         each[ind % len(cloud_names)] += 1
     return each
+
+
+def _scatter_map(order, j, idx, valid):
+    """Host scatter map for one chunk row: (source output rows, target point
+    ids). order=None (original-order eval outputs): rows [0, valid) map to
+    idx[:valid]. With sorted outputs (make_eval_step(sorted_outputs=True))
+    output row r holds input row order[r], so rows with order[r] < valid
+    scatter to idx[order[r]] — a 4096-element host fancy-index replaces two
+    [B, N]-row device unsort gathers."""
+    if order is None:
+        return slice(0, int(valid)), idx[:valid]
+    oj = order[j]
+    src = np.flatnonzero(oj < valid)
+    return src, idx[oj[src]]
 
 
 @dataclasses.dataclass
@@ -153,9 +171,10 @@ class InferenceRunner:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            probs, feats = self.eval_step(self.state, batch)
-            cls, u, f16 = self._reduce(probs, feats)
-            pending.append((g, cls, u, f16))
+            res = self.eval_step(self.state, batch)
+            order = res[2] if len(res) == 3 else None
+            cls, u, f16 = self._reduce(res[0], res[1])
+            pending.append((g, cls, u, f16, order))
         out = {
             c.name: CloudInference(
                 np.zeros(c.num_points, np.int32),
@@ -164,15 +183,17 @@ class InferenceRunner:
             )
             for c in clouds
         }
-        for g, cls, u, feats in pending:
+        for g, cls, u, feats, order in pending:
             cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)
+            order = None if order is None else np.asarray(order)
             for j, (name, (_, idx, valid)) in enumerate(g):
                 if name is None:
                     continue
                 o = out[name]
-                o.prob_class[idx[:valid]] = cls[j][:valid]
-                o.uncertainty[idx[:valid]] = u[j][:valid]
-                o.penult[idx[:valid]] = feats[j][:valid]
+                src, tgt = _scatter_map(order, j, idx, valid)
+                o.prob_class[tgt] = cls[j][src]
+                o.uncertainty[tgt] = u[j][src]
+                o.penult[tgt] = feats[j][src]
         return out
 
     def run(self, cloud: Cloud) -> CloudInference:
@@ -211,15 +232,18 @@ class InferenceRunner:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            probs, feats = self.eval_step(self.state, batch)
-            cls, u, f16 = self._reduce(probs, feats)
-            pending.append((chunks[s : s + cb], cls, u, f16))
-        for group, cls, u, feats in pending:
+            res = self.eval_step(self.state, batch)
+            order = res[2] if len(res) == 3 else None
+            cls, u, f16 = self._reduce(res[0], res[1])
+            pending.append((chunks[s : s + cb], cls, u, f16, order))
+        for group, cls, u, feats, order in pending:
             cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)
+            order = None if order is None else np.asarray(order)
             for j, (_, idx, valid) in enumerate(group):
-                prob_class[idx[:valid]] = cls[j][:valid]
-                unc[idx[:valid]] = u[j][:valid]
-                penult[idx[:valid]] = feats[j][:valid]
+                src, tgt = _scatter_map(order, j, idx, valid)
+                prob_class[tgt] = cls[j][src]
+                unc[tgt] = u[j][src]
+                penult[tgt] = feats[j][src]
         return CloudInference(prob_class, unc, penult)
 
 
@@ -611,11 +635,10 @@ class TSampler:
             cands = candidates[name]
             xyz = self.cloud_by_name[name].xyz
             sp = self.state.load_superpoints(name)
-            sp_points = [xyz[sp.components[r.sp_idx]] for r in cands]
-            cents = np.stack([bbox_center(p) for p in sp_points])
             # cap padded superpoint size (see region_graph.build_region_graph)
-            pts, msk = pad_superpoints(
-                sp_points, max_points=self.args.chamfer_cap or None
+            cents, pts, msk = pad_regions_vectorized(
+                xyz, [sp.components[r.sp_idx] for r in cands],
+                self.args.chamfer_cap or None,
             )
             cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
             sel = np.asarray(farthest_superpoint_sample(

@@ -32,11 +32,15 @@ def simple_evaluate(eval_step, state, batches, num_classes,
     correct = seen = 0
     pending = []
     for batch in batches:
-        probs, _ = eval_step(state, batch)
-        pending.append((batch, probs))
-    for batch, probs in pending:
+        res = eval_step(state, batch)
+        pending.append((batch, res[0], res[2] if len(res) == 3 else None))
+    for batch, probs, order in pending:
         pred = np.asarray(probs).argmax(-1).ravel()
-        labels = np.asarray(batch["labels"]).ravel()
+        labels = np.asarray(batch["labels"])
+        if order is not None:
+            # sorted outputs: row r is input row order[r] — permute labels
+            labels = np.take_along_axis(labels, np.asarray(order), axis=1)
+        labels = labels.ravel()
         if ignored_label_inds:
             keep = ~np.isin(labels, ignored_label_inds)
             pred = pred[keep]
@@ -99,15 +103,20 @@ class Evaluator:
                     dev_batch = shard_batch(batch, self.mesh)
                 else:
                     dev_batch = batch
-                probs, _ = eval_step(state, dev_batch)
-                pending.append((batch, probs))
+                res = eval_step(state, dev_batch)
+                pending.append(
+                    (batch, res[0], res[2] if len(res) == 3 else None))
                 if pipe.global_min > last_min + 1:
                     break
-            for batch, probs in pending:
+            for batch, probs, order in pending:
                 probs = np.asarray(probs)  # [B, N, C]
+                order = None if order is None else np.asarray(order)
                 for j in range(probs.shape[0]):
                     ci = int(batch["cloud_idx"][j])
                     p_idx = batch["point_idx"][j]
+                    if order is not None:
+                        # sorted outputs: row r is input row order[r]
+                        p_idx = p_idx[order[j]]
                     test_probs[ci][p_idx] = (
                         test_smooth * test_probs[ci][p_idx]
                         + (1 - test_smooth) * probs[j]

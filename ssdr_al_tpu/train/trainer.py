@@ -136,18 +136,37 @@ def make_train_step(model: RandLANet, cfg: Config,
     return train_step
 
 
-def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window"):
+def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window",
+                   sorted_outputs: bool = False):
     """Inference: softmax probs + penultimate 32-d features (the tensors the
-    reference exposes as prob_logits / last_second_features, RandLANet.py:84,38)."""
+    reference exposes as prob_logits / last_second_features, RandLANet.py:84,38).
+
+    sorted_outputs=True returns a third output `order` [B, N] int32 and, on
+    sorted pyramids, keeps probs/penult in MORTON-SORTED row order (row r of
+    the outputs is input row order[r]), skipping the two [B, N]-row head
+    unsort gathers (~24 ns/point on this platform). Consumers permute their
+    host-side index maps instead (InferenceRunner, Evaluator,
+    simple_evaluate all handle the 3-tuple). On non-sorted pyramids (CPU /
+    engine="xla") order is the identity."""
 
     @jax.jit
     def eval_step(state: TrainState, batch):
         pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
+        sorted_mode = sorted_outputs and isinstance(pyramid, SortedPyramid)
         logits, penult = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["features"], pyramid, False,
+            batch["features"], pyramid, False, unsort=not sorted_mode,
         )
-        return jax.nn.softmax(logits, axis=-1), penult
+        probs = jax.nn.softmax(logits, axis=-1)
+        if not sorted_outputs:
+            return probs, penult
+        if sorted_mode:
+            order = pyramid.order.astype(jnp.int32)
+        else:
+            b, n = batch["xyz"].shape[:2]
+            order = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+        return probs, penult, order
 
     return eval_step
 
@@ -191,7 +210,11 @@ class Trainer:
         self.weights = get_class_weights(dataset_name)
         self.steps_per_epoch = steps_per_epoch or cfg.train_steps
         self.train_step = make_train_step(self.model, cfg, self.weights, knn_engine)
-        self.eval_step = make_eval_step(self.model, cfg, knn_engine)
+        # sorted outputs: on TPU the eval forward skips the two [B,N]-row
+        # head unsort gathers; InferenceRunner/Evaluator permute host index
+        # maps by the returned order instead
+        self.eval_step = make_eval_step(
+            self.model, cfg, knn_engine, sorted_outputs=True)
         self.state: Optional[TrainState] = None
         self._rng = jax.random.PRNGKey(0)
 

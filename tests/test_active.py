@@ -500,3 +500,178 @@ class TestFpsGcn:
         sel = [s for v in out.values() for s in v]
         assert len(sel) == 4 and len(set(sel)) == 4
         assert all(s < 8 for s in sel)  # only unlabeled
+
+
+class TestPadRegionsVectorized:
+    """pad_regions_vectorized == the literal per-region loop
+    (bbox_center + ops.chamfer.pad_superpoints), bit-exact — including the
+    linspace endpoint pinning for regions larger than the cap."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.RandomState(7)
+
+    def _loop_form(self, xyz, ids_list, cap):
+        from ssdr_al_tpu.active.region_graph import bbox_center
+        from ssdr_al_tpu.ops.chamfer import pad_superpoints
+
+        sp_points = [xyz[ids] for ids in ids_list]
+        cents = np.stack([bbox_center(p) for p in sp_points])
+        pts, msk = pad_superpoints(sp_points, max_points=cap)
+        return cents, pts, msk
+
+    @pytest.mark.parametrize("cap", [None, 16, 64])
+    def test_matches_loop(self, rng, cap):
+        from ssdr_al_tpu.active.region_graph import pad_regions_vectorized
+
+        xyz = rng.randn(4000, 3).astype(np.float32) * 5
+        # ragged sizes straddling the cap, incl. size-1 and size==cap
+        sizes = [1, 3, 16, 17, 63, 64, 65, 200, 999]
+        ids_list, at = [], 0
+        for s in sizes:
+            ids_list.append(np.arange(at, at + s, dtype=np.int64))
+            at += s
+        cents, pts, msk = pad_regions_vectorized(xyz, ids_list, cap)
+        want_c, want_p, want_m = self._loop_form(xyz, ids_list, cap)
+        np.testing.assert_array_equal(cents, want_c)
+        np.testing.assert_array_equal(msk, want_m)
+        np.testing.assert_array_equal(pts, want_p)
+
+    def test_linspace_endpoint_pinned(self, rng):
+        """Regression: arange·step truncation can land one index short of
+        L-1; linspace pins it. A size where (p-1)*step rounds down exposes
+        the difference through the last subsampled point."""
+        from ssdr_al_tpu.active.region_graph import pad_regions_vectorized
+
+        xyz = rng.randn(2000, 3).astype(np.float32)
+        for size in [103, 257, 511, 1023, 1999]:
+            ids = [np.arange(size, dtype=np.int64)]
+            cents, pts, msk = pad_regions_vectorized(xyz, ids, 32)
+            want_c, want_p, want_m = self._loop_form(xyz, ids, 32)
+            np.testing.assert_array_equal(pts, want_p)
+
+
+class TestSortedEvalConsumers:
+    """Consumers of make_eval_step(sorted_outputs=True) must reproduce the
+    original-order results exactly: output row r is input row order[r] and
+    the consumer permutes its host index maps (samplers._scatter_map,
+    Evaluator fold, simple_evaluate label permute)."""
+
+    @staticmethod
+    def _perm_wrap(stub):
+        """Wrap a (probs, feats) stub into a sorted-outputs (3-tuple) stub
+        with a nontrivial per-row permutation (row reversal)."""
+        def eval_step(model_state, batch):
+            probs, feats = stub(model_state, batch)
+            b, n = probs.shape[:2]
+            order = jnp.broadcast_to(
+                jnp.arange(n - 1, -1, -1, dtype=jnp.int32)[None], (b, n))
+            probs = jnp.take_along_axis(probs, order[..., None], axis=1)
+            feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+            return probs, feats, order
+        return eval_step
+
+    def _clouds(self, rng, n_clouds=3, base=500):
+        from ssdr_al_tpu.data.cloud import Cloud
+
+        return [
+            Cloud(name=f"c{i}",
+                  xyz=(rng.rand(base + 70 * i, 3) * 8).astype(np.float32),
+                  colors=rng.rand(base + 70 * i, 3).astype(np.float32),
+                  labels=rng.randint(0, 5, base + 70 * i).astype(np.int32))
+            for i in range(n_clouds)
+        ]
+
+    def test_inference_runner_matches_unsorted(self, rng):
+        import dataclasses
+
+        from ssdr_al_tpu.active.samplers import InferenceRunner
+        from ssdr_al_tpu.config import get_config
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), num_points=256, num_classes=5)
+        clouds = self._clouds(rng)
+        stub = TestVectorizedScoring._stub_eval_step
+        plain = InferenceRunner(cfg, clouds, stub, None, "sb",
+                                seed=3, chunk_batch=4).run_many(clouds)
+        wrapped = InferenceRunner(cfg, clouds, self._perm_wrap(stub), None,
+                                  "sb", seed=3, chunk_batch=4).run_many(clouds)
+        for c in clouds:
+            np.testing.assert_array_equal(
+                plain[c.name].prob_class, wrapped[c.name].prob_class)
+            np.testing.assert_array_equal(
+                plain[c.name].uncertainty, wrapped[c.name].uncertainty)
+            np.testing.assert_array_equal(
+                plain[c.name].penult, wrapped[c.name].penult)
+
+    def test_simple_evaluate_matches_unsorted(self, rng):
+        from ssdr_al_tpu.train.evaluator import simple_evaluate
+
+        stub = TestVectorizedScoring._stub_eval_step
+        batches = [
+            {"xyz": (rng.rand(2, 128, 3) * 8).astype(np.float32),
+             "labels": rng.randint(0, 5, (2, 128)).astype(np.int32)}
+            for _ in range(3)
+        ]
+        a = simple_evaluate(stub, None, batches, 5)
+        b = simple_evaluate(self._perm_wrap(stub), None, batches, 5)
+        assert a == b
+
+    def test_evaluator_matches_unsorted(self, rng):
+        import dataclasses
+
+        from ssdr_al_tpu.config import get_config
+        from ssdr_al_tpu.train.evaluator import Evaluator
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), num_points=256, num_classes=5,
+            val_batch_size=4, val_steps=6)
+        clouds = self._clouds(rng)
+        stub = TestVectorizedScoring._stub_eval_step
+        ev = Evaluator(cfg, clouds, seed=11, max_epochs=3)
+        a = ev(stub, None)
+        ev2 = Evaluator(cfg, clouds, seed=11, max_epochs=3)
+        b = ev2(self._perm_wrap(stub), None)
+        assert a == b
+
+
+class TestRegionGraphBuckets:
+    def test_grouped_buckets_match_exact_chamfer(self, rng):
+        """(S,P)-bucketed grouped chamfer blocks in build_region_graph ==
+        per-cloud exact (unpadded-count) chamfer + centroid ED, across
+        clouds heterogeneous enough to land in different buckets."""
+        from ssdr_al_tpu.active.region_graph import (
+            bbox_center,
+            build_region_graph,
+        )
+        from ssdr_al_tpu.ops.chamfer import chamfer_pairwise, pad_superpoints
+
+        regions, cloud_xyz, components = {}, {}, {}
+        # cloud sizes chosen to force distinct (S bucket, P bucket) groups:
+        # (num regions, max region size)
+        for ci, (n_reg, max_sz) in enumerate([(3, 10), (20, 10), (3, 300)]):
+            name = f"c{ci}"
+            comps, at, pts = [], 0, []
+            for r in range(n_reg):
+                sz = int(rng.randint(2, max_sz + 1)) if r else max_sz
+                comps.append(np.arange(at, at + sz, dtype=np.int64))
+                at += sz
+            cloud_xyz[name] = (rng.rand(at, 3) * 6).astype(np.float32)
+            components[name] = comps
+            regions[name] = [(r, False, comps[r][:2]) for r in range(n_reg)]
+        graph = build_region_graph(
+            regions, cloud_xyz, components, max_points_per_sp=64)
+
+        for ci, name in enumerate(graph.cloud_names):
+            comps = components[name]
+            xyz = cloud_xyz[name]
+            sp_points = [xyz[c] for c in comps]
+            cents = np.stack([bbox_center(p) for p in sp_points])
+            diff = cents[:, None] - cents[None, :]
+            ed = np.sqrt((diff * diff).sum(-1))
+            pts, msk = pad_superpoints(sp_points, max_points=64)
+            cd = np.asarray(chamfer_pairwise(
+                jnp.asarray(pts), jnp.asarray(msk)))
+            s = len(comps)
+            np.testing.assert_allclose(
+                graph.ed_cd[ci, :s, :s], ed + cd, rtol=1e-4, atol=1e-4)

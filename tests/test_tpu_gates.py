@@ -175,3 +175,48 @@ class TestBf16Trajectory:
         assert abs(f32[-1] - bf16[-1]) <= 0.12, (f32, bf16)
         # bf16 must actually learn, not merely stay near f32's early rounds
         assert bf16[-1] >= bf16[0] - 0.05, bf16
+
+
+class TestSortedEvalPath:
+    def test_sorted_eval_equals_unsorted_after_reindex(self, rng):
+        """make_eval_step(sorted_outputs=True) on the real window engine:
+        probs reindexed by the returned order must equal the unsorted
+        eval_step EXACTLY (the unsort gather and the host reindex are the
+        same permutation of identical rows). penult is compared at bf16
+        tolerance: XLA places the bf16→f32 output cast differently with vs
+        without the trailing unsort gather (measured ~1.5e-3 relative, one
+        bf16 ulp)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ssdr_al_tpu.config import ConfigS3DIS
+        from ssdr_al_tpu.models.randlanet import RandLANet
+        from ssdr_al_tpu.train.trainer import create_train_state, make_eval_step
+
+        cfg = dataclasses.replace(
+            ConfigS3DIS, num_points=8192, num_classes=8,
+            ignored_label_inds=(), compute_dtype="bfloat16")
+        b, n = 2, cfg.num_points
+        batch = {
+            "xyz": jnp.asarray((rng.rand(b, n, 3) * 10).astype(np.float32)),
+            "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
+        }
+        model = RandLANet(cfg)
+        state = create_train_state(
+            model, cfg, jax.random.PRNGKey(0),
+            {"xyz": batch["xyz"][:1], "features": batch["features"][:1]}, 500)
+        plain = make_eval_step(model, cfg)
+        srt = make_eval_step(model, cfg, sorted_outputs=True)
+        probs_p, pen_p = plain(state, batch)
+        probs_s, pen_s, order = srt(state, batch)
+        order = np.asarray(order)
+        inv = np.argsort(order, axis=1)
+        probs_s, pen_s = np.asarray(probs_s), np.asarray(pen_s)
+        np.testing.assert_array_equal(
+            np.take_along_axis(probs_s, inv[..., None], axis=1),
+            np.asarray(probs_p))
+        pen_p = np.asarray(pen_p)
+        np.testing.assert_allclose(
+            np.take_along_axis(pen_s, inv[..., None], axis=1),
+            pen_p, rtol=2e-2, atol=float(np.abs(pen_p).max()) * 1e-4)
