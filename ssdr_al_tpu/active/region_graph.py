@@ -32,6 +32,12 @@ _S_LADDER = [16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
 _P_LADDER = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
 
+# wall-clock of the last build_region_graph call's internal phases
+# (pad / chamfer enqueue / chamfer wait / ed_cd assembly) — consumed by the
+# selection profiler (TSampler.phase_times)
+LAST_TIMINGS: Dict[str, float] = {}
+
+
 def _ladder(n: int, ladder) -> int:
     """Smallest ladder value ≥ n (last rung caps; callers cap P themselves)."""
     for v in ladder:
@@ -136,13 +142,20 @@ def build_region_graph(
     run_semantic3d_0.012.sh:15); a 512-point subsample changes chamfer
     means by O(1/√P) while keeping memory bounded.
     """
+    import time
+
+    LAST_TIMINGS.clear()
+    t0 = time.perf_counter()
     refs: List[RegionRef] = []
     cloud_names = sorted(regions_by_cloud)
-    # shape-bucket every jitted operand (region count per block → 16s,
-    # padded superpoint size → 64s, block count → 8s): candidate/anchor
-    # counts drift round to round, and unbucketed shapes would recompile
-    # the chamfer/adjacency/propagate programs every AL round
-    s_max = -(-max(len(v) for v in regions_by_cloud.values()) // 16) * 16
+    # shape-bucket every jitted operand: candidate/anchor counts drift round
+    # to round, and unbucketed shapes would recompile the
+    # chamfer/adjacency/propagate programs every AL round. The global block
+    # width uses the geometric ladder (a 16-mult bucket still grew by one
+    # rung per round as the anchor cap (round−1)·1000 grows — one fresh
+    # O(C·S²) adjacency/propagate compile per round, ~12 s each on this
+    # platform); block count → 8s
+    s_max = _ladder(max(len(v) for v in regions_by_cloud.values()), _S_LADDER)
     c = -(-len(cloud_names) // 8) * 8
     ed_cd = np.zeros((c, s_max, s_max), np.float32)
     mask = np.zeros((c, s_max), bool)
@@ -176,6 +189,8 @@ def build_region_graph(
         per_cloud.append((name, regs, centroids, pts, msk,
                           (s_bucket, p_bucket)))
 
+    LAST_TIMINGS["pad_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     # enqueue every group's chamfer before converting any result: each
     # conversion blocks on the device, and groups are independent
     launched = []
@@ -192,11 +207,15 @@ def build_region_graph(
         launched.append((group, chamfer_pairwise_blocks(
             jnp.asarray(pts_g), jnp.asarray(msk_g), 8
         )))
+    LAST_TIMINGS["chamfer_enqueue_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     cd_by_cloud = {}
     for group, cd_dev in launched:
         cd_g = np.asarray(cd_dev)
         for gi, (name, _, _, _, _, _) in enumerate(group):
             cd_by_cloud[name] = cd_g[gi]
+    LAST_TIMINGS["chamfer_wait_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     for ci, (name, regs, centroids, _, _, _) in enumerate(per_cloud):
         diff = centroids[:, None, :] - centroids[None, :, :]
@@ -209,6 +228,7 @@ def build_region_graph(
             block_of.append(ci)
             slot_of.append(slot)
 
+    LAST_TIMINGS["assemble_s"] = time.perf_counter() - t0
     return RegionGraph(
         refs=refs,
         cloud_names=cloud_names,

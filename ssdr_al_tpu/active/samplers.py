@@ -51,7 +51,11 @@ from ssdr_al_tpu.active.region_graph import bbox_center
 def _score_regions_device(unc, cls, seg, num_segments, num_classes, mode):
     """Fused per-superpoint scoring: region uncertainty + dominant predicted
     class, one device call per cloud (replaces the reference's per-superpoint
-    numpy loop, sampler2.py:612-631)."""
+    numpy loop, sampler2.py:612-631). Operands arrive in the narrow transfer
+    dtypes (f16 uncertainty, u8 classes — the tunnel is ~35 MB/s) and are
+    widened here."""
+    unc = unc.astype(jnp.float32)
+    cls = cls.astype(jnp.int32)
     runc = region_uncertainty(unc, cls, seg, num_segments, num_classes, mode)
     dom, _ = segment_majority(cls, seg, num_segments, num_classes)
     return runc, dom
@@ -70,6 +74,28 @@ def spread_budget_over_clouds(rng, total_num, number, cloud_names):
     for ind in rand_inds:
         each[ind % len(cloud_names)] += 1
     return each
+
+
+# geometric ladder for the region-slot cap (~1.5× steps): few, round-stable
+# compiled shapes as candidate+anchor counts drift
+_SLOT_LADDER = [512, 1024, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
+                24576, 32768, 49152, 65536, 98304, 131072]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _region_means_device(groups, slot, slot_cap):
+    """Mean penultimate feature per region slot over the retained device
+    buffers. groups: tuple of [cb, N, 32] arrays; slot: [Σ cb·N] int32 in
+    [0, slot_cap] (slot_cap = trash for padding/non-region rows). Values
+    round through saturating float16 so the result matches the host
+    transfer path (inf protection — CLAUDE.md bf16→f16 lesson)."""
+    v = jnp.concatenate([g.reshape(-1, g.shape[-1]) for g in groups], axis=0)
+    v = jnp.clip(v.astype(jnp.float32), -6.5e4, 6.5e4).astype(
+        jnp.float16).astype(jnp.float32)
+    sums = jax.ops.segment_sum(v, slot, num_segments=slot_cap + 1)
+    cnt = jax.ops.segment_sum(
+        jnp.ones(slot.shape, jnp.float32), slot, num_segments=slot_cap + 1)
+    return sums[:slot_cap] / jnp.maximum(cnt[:slot_cap], 1.0)[:, None]
 
 
 def _scatter_map(order, j, idx, valid):
@@ -107,12 +133,24 @@ class InferenceRunner:
 
     def __init__(self, cfg: Config, clouds: List[Cloud], eval_step, state,
                  point_unc_mode: str, seed: int = 0, chunk_batch: int = 0,
-                 mesh=None):
+                 mesh=None, keep_penult_on_device: bool = False):
         self.cfg = cfg
         self.clouds = {c.name: c for c in clouds}
         self.eval_step = eval_step
         self.state = state
         self.mode = point_unc_mode
+        # keep_penult_on_device: don't transfer the [N, 32] penultimate
+        # features at all (64 B/point — the prediction phase's largest
+        # device→host payload at ~35 MB/s tunnel bandwidth). The per-group
+        # device buffers are retained and region-feature means are computed
+        # ON DEVICE later via region_feature_means() with an uploaded
+        # row→slot map (4 B/point up, [R, 32] f32 down). Single-runner
+        # lifetime: buffers free when the runner is dropped. Not combined
+        # with a mesh (the flat segment-mean would consume cross-shard
+        # buffers; dp selection keeps the host path).
+        self.keep_penult = keep_penult_on_device and mesh is None
+        self._penult_groups: List[jax.Array] = []
+        self._row_map: Dict[str, np.ndarray] = {}
         # default group size adapts to the chunk size under a ~330k-point
         # per-call budget (capped at 32): small 4096-pt selection chunks
         # group 32-wide (200-cloud prediction 5.38 -> 4.71 s, measured by
@@ -126,21 +164,40 @@ class InferenceRunner:
 
         @jax.jit
         def _reduce(probs, feats):
-            unc = point_uncertainty(probs, point_unc_mode)
-            cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-            # saturating f16 cast ON DEVICE: bfloat16 activations (range
-            # ~1e38) from an early-round model can exceed float16 max — an
-            # unclipped cast makes inf penultimate features, which poison
-            # region-feature means and collapse the FPS distance field.
-            # Doing it device-side halves the penult transfer — the largest
-            # host<->device payload of the prediction phase (200x4096
-            # clouds: 105 -> 52 MB) — and moves the clip off the single
-            # host core
+            # the tunnel moves ~30-40 MB/s in BOTH directions (measured),
+            # so every transferred byte is wall-clock: classes travel as
+            # uint8 (num_classes ≤ 255), uncertainty as float16 (values in
+            # [0, log C]; 5e-4 relative is far below the bf16 activation
+            # noise), features as saturating-clipped float16 (bfloat16
+            # activations from an early-round model can exceed float16 max —
+            # an unclipped cast makes inf penultimate features, which poison
+            # region-feature means and collapse the FPS distance field)
+            unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
+            cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
             f16 = jnp.clip(feats.astype(jnp.float32), -6.5e4, 6.5e4).astype(
                 jnp.float16)
             return cls, unc, f16
 
+        @jax.jit
+        def _reduce_nofeat(probs):
+            unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
+            cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return cls, unc
+
         self._reduce = _reduce
+        self._reduce_nofeat = _reduce_nofeat
+
+    def _shrink_batch(self, batch):
+        """Upload features as bfloat16 when the model computes in bfloat16:
+        fc0 casts them on device anyway (models/randlanet.py fc0
+        `features.astype(dtype)`), so the narrower upload is bit-exact and
+        halves the largest host→device payload (the tunnel is ~35 MB/s)."""
+        if jnp.dtype(self.cfg.compute_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            batch = dict(batch)
+            batch["features"] = batch["features"].astype(ml_dtypes.bfloat16)
+        return batch
 
     def run_many(self, clouds: List[Cloud]) -> Dict[str, CloudInference]:
         """Whole-dataset inference with chunk groups spanning CLOUD
@@ -167,24 +224,37 @@ class InferenceRunner:
                 k: np.concatenate([c[0][k] for _, c in g], axis=0)
                 for k in g[0][1][0]
             }
+            batch = self._shrink_batch(batch)
             if self.mesh is not None:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
             res = self.eval_step(self.state, batch)
             order = res[2] if len(res) == 3 else None
-            cls, u, f16 = self._reduce(res[0], res[1])
+            if self.keep_penult:
+                cls, u = self._reduce_nofeat(res[0])
+                self._penult_groups.append(res[1])
+                f16 = None
+            else:
+                cls, u, f16 = self._reduce(res[0], res[1])
             pending.append((g, cls, u, f16, order))
         out = {
             c.name: CloudInference(
                 np.zeros(c.num_points, np.int32),
                 np.zeros(c.num_points, np.float32),
-                np.zeros((c.num_points, 32), np.float16),
+                None if self.keep_penult
+                else np.zeros((c.num_points, 32), np.float16),
             )
             for c in clouds
         }
-        for g, cls, u, feats, order in pending:
-            cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)
+        if self.keep_penult:
+            self._row_map = {
+                c.name: np.full(c.num_points, -1, np.int64) for c in clouds
+            }
+        n = self.cfg.num_points
+        for gi, (g, cls, u, feats, order) in enumerate(pending):
+            cls, u = np.asarray(cls), np.asarray(u)
+            feats = None if feats is None else np.asarray(feats)
             order = None if order is None else np.asarray(order)
             for j, (name, (_, idx, valid)) in enumerate(g):
                 if name is None:
@@ -193,8 +263,43 @@ class InferenceRunner:
                 src, tgt = _scatter_map(order, j, idx, valid)
                 o.prob_class[tgt] = cls[j][src]
                 o.uncertainty[tgt] = u[j][src]
-                o.penult[tgt] = feats[j][src]
+                if feats is not None:
+                    o.penult[tgt] = feats[j][src]
+                if self.keep_penult:
+                    # flat sorted-row index of each point (LAST assignment
+                    # wins, exactly like the scatters above)
+                    rows = np.arange(valid) if order is None else src
+                    self._row_map[name][tgt] = (gi * cb + j) * n + rows
         return out
+
+    def region_feature_means(self, slot_of_point: Dict[str, np.ndarray],
+                             num_slots: int) -> np.ndarray:
+        """[num_slots, 32] float32 mean penultimate feature per region slot,
+        computed ON DEVICE over the buffers retained by
+        keep_penult_on_device (compute_features parity,
+        sampler2.py:313-342). slot_of_point: per-cloud int arrays
+        [num_points], slot id per point or -1. Transfers one int32 per
+        retained row up and [num_slots, 32] f32 down instead of 64 B/point
+        down — the decisive trade at ~35 MB/s tunnel bandwidth."""
+        if not self._penult_groups:
+            raise RuntimeError("run_many(keep_penult_on_device) not run")
+        rows = sum(int(g.shape[0]) * int(g.shape[1])
+                   for g in self._penult_groups)
+        # bucket the slot cap on the geometric ladder so drifting region
+        # counts reuse the compiled program (trash slot = slot_cap): 2048s
+        # still crossed a boundary as the anchor cap grows per round — one
+        # fresh ~11 s segment-sum compile per crossing on this platform
+        from ssdr_al_tpu.active.region_graph import _ladder
+
+        slot_cap = _ladder(max(num_slots, 1), _SLOT_LADDER)
+        slot = np.full(rows, slot_cap, np.int32)
+        for name, sp in slot_of_point.items():
+            rm = self._row_map[name]
+            pts = np.flatnonzero((sp >= 0) & (rm >= 0))
+            slot[rm[pts]] = sp[pts]
+        means = _region_means_device(
+            tuple(self._penult_groups), jnp.asarray(slot), slot_cap)
+        return np.asarray(means)[:num_slots]
 
     def run(self, cloud: Cloud) -> CloudInference:
         n = cloud.num_points
@@ -228,6 +333,7 @@ class InferenceRunner:
                 k: np.concatenate([g[0][k] for g in group], axis=0)
                 for k in group[0][0]
             }
+            batch = self._shrink_batch(batch)
             if self.mesh is not None:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
@@ -410,6 +516,7 @@ class TSampler:
         self.rng = np.random.RandomState(seed)
         self.mesh = mesh  # optional Mesh: selection inference is data-parallel
         self._gt_dom_cache: Dict[str, tuple] = {}
+        self._runner = None  # round-lifetime InferenceRunner (device buffers)
         self.phase_times: Dict[str, float] = {}
 
     # -------------------------------------------------------- prediction ---
@@ -422,7 +529,11 @@ class TSampler:
             self.cfg, self.clouds, eval_step, model_state,
             a.point_uncertainty_mode, seed=self.rng.randint(1 << 31),
             mesh=self.mesh,
+            # penult stays on device for the graph-diversity feature means
+            # (skips the 64 B/point transfer); dp selection keeps host penult
+            keep_penult_on_device=(a.diversity in ("gcn", "gcn_fps")),
         )
+        self._runner = runner
         unc_parts: List[np.ndarray] = []
         cls_parts: List[np.ndarray] = []
         unlabeled_refs: List[RegionRef] = []
@@ -498,9 +609,9 @@ class TSampler:
         n = seg_in.shape[0]
         n_pad = -(-n // 131072) * 131072
         s_pad = -(-(total_s + 1) // 2048) * 2048  # last id reserved for pad
-        unc = np.zeros(n_pad, np.float32)
+        unc = np.zeros(n_pad, np.float16)
         unc[:n] = unc_in
-        cls = np.zeros(n_pad, np.int32)
+        cls = np.zeros(n_pad, np.uint8)
         cls[:n] = cls_in
         seg = np.full(n_pad, s_pad - 1, np.int32)
         seg[:n] = seg_in
@@ -607,6 +718,7 @@ class TSampler:
             self.state.mark_labeled(total_obj, name, used)
         self.state.write_registry(total_obj, round_dir)
         self.phase_times["oracle_s"] = time.perf_counter() - t0
+        self._runner = None  # free the retained device penult buffers
 
     # ------------------------------------------------------------ branches ---
     def _top_candidates(self, unl_refs, sorted_inds, batch_size):
@@ -650,13 +762,20 @@ class TSampler:
     def _graph_selection(self, unl_refs, sorted_inds, labeled_by_cloud,
                          inference, batch_size, round_num, stats):
         """gcn / gcn_fps branches (sampler2.py:687-781)."""
+        import time
+
+        from ssdr_al_tpu.active import region_graph as _rg
+
         a = self.args
+        t0 = time.perf_counter()
         top_by_cloud, candidates = self._top_candidates(
             unl_refs, sorted_inds, batch_size
         )
         stats.extra["before_gcn_file_num"] = len(top_by_cloud)
         anchors = self.select_labeled_anchors(labeled_by_cloud, round_num)
         sampling_batch = sum(len(v) for v in top_by_cloud.values())
+        self.phase_times["div_cand_anchor_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         regions_by_cloud: Dict[str, list] = {}
         flat_refs: List[RegionRef] = []
@@ -680,42 +799,66 @@ class TSampler:
             regions_by_cloud, cloud_xyz, components,
             max_points_per_sp=a.chamfer_cap or None,
         )
+        for k, v in _rg.LAST_TIMINGS.items():
+            self.phase_times[f"div_graph_{k}"] = v
+        self.phase_times["div_graph_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # region features: mean penultimate feature over dominant point ids
         # (compute_features, sampler2.py:313-342) — reusing the pass-1
-        # features. Vectorized per cloud: one fancy-index gather over the
-        # concatenated dominant ids + np.add.reduceat segment sums instead
-        # of a per-region python loop (up to 2·B + anchors ≈ 20k regions at
-        # the 200-cloud/10000-click scale — the loop was the diversity
-        # phase's host bottleneck)
-        feats = np.zeros((graph.num_regions, 32), np.float32)
+        # features. Preferred path: the runner kept penult ON DEVICE and one
+        # segment-mean with an uploaded point→slot map produces all region
+        # means (region_feature_means). Fallback (dp selection, direct
+        # _graph_selection callers): vectorized host reduceat over the
+        # transferred f16 penult.
         unlabeled_flags = np.zeros(graph.num_regions, bool)
         by_cloud: Dict[str, List[int]] = {}
         for i, ref in enumerate(graph.refs):
             unlabeled_flags[i] = not ref.is_labeled
             by_cloud.setdefault(ref.cloud_name, []).append(i)
-        for name, idxs in by_cloud.items():
-            pen = inference.get(name)
-            if pen is None:
-                # anchor cloud not among candidate clouds: run features lazily
-                # (rare; anchors live in labeled clouds which were all inferred)
-                raise RuntimeError(f"missing inference for {name}")
-            ids = [graph.refs[i].dominant_point_ids for i in idxs]
-            lens = np.array([len(x) for x in ids], np.int64)
-            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            rows = pen.penult[np.concatenate(ids)].astype(np.float32)
-            sums = np.add.reduceat(rows, offsets, axis=0)
-            feats[np.asarray(idxs)] = sums / lens[:, None]
+        runner = getattr(self, "_runner", None)
+        if runner is not None and runner.keep_penult:
+            slot_maps: Dict[str, np.ndarray] = {}
+            for name, idxs in by_cloud.items():
+                n_pts = self.cloud_by_name[name].num_points
+                sm = np.full(n_pts, -1, np.int64)
+                ids = [graph.refs[i].dominant_point_ids for i in idxs]
+                lens = np.fromiter((len(x) for x in ids), np.int64,
+                                   count=len(ids))
+                sm[np.concatenate(ids)] = np.repeat(
+                    np.asarray(idxs, np.int64), lens)
+                slot_maps[name] = sm
+            feats = runner.region_feature_means(
+                slot_maps, graph.num_regions)
+        else:
+            feats = np.zeros((graph.num_regions, 32), np.float32)
+            for name, idxs in by_cloud.items():
+                pen = inference.get(name)
+                if pen is None:
+                    # anchor cloud not among candidate clouds (anchors live
+                    # in labeled clouds, which were all inferred)
+                    raise RuntimeError(f"missing inference for {name}")
+                ids = [graph.refs[i].dominant_point_ids for i in idxs]
+                lens = np.array([len(x) for x in ids], np.int64)
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                rows = pen.penult[np.concatenate(ids)].astype(np.float32)
+                sums = np.add.reduceat(rows, offsets, axis=0)
+                feats[np.asarray(idxs)] = sums / lens[:, None]
 
-        if a.diversity == "gcn_fps":
-            return gcn_fps_sampling(
+        self.phase_times["div_feats_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        try:
+            if a.diversity == "gcn_fps":
+                return gcn_fps_sampling(
+                    graph, feats, unlabeled_flags, sampling_batch,
+                    gcn_number=a.gcn_number, gcn_top=a.gcn_top, rng=self.rng,
+                )
+            return gcn_sampling(
                 graph, feats, unlabeled_flags, sampling_batch,
-                gcn_number=a.gcn_number, gcn_top=a.gcn_top, rng=self.rng,
+                seed=int(self.rng.randint(1 << 31)),
             )
-        return gcn_sampling(
-            graph, feats, unlabeled_flags, sampling_batch,
-            seed=int(self.rng.randint(1 << 31)),
-        )
+        finally:
+            self.phase_times["div_gcn_s"] = time.perf_counter() - t0
 
     def _record_selection_stats(self, file_list, total_obj, stats):
         """w['gcn_file_num'/'gcn_sp_num'/'gcn_unlabel_num'] (sampler2.py:765-772)."""

@@ -16,10 +16,18 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from ssdr_al_tpu.config import Config
 from ssdr_al_tpu.data.cloud import Cloud
 from ssdr_al_tpu.data.dataset import PossibilityEvalPipeline
 from ssdr_al_tpu.train.metrics import confusion_matrix, iou_from_confusion
+
+
+@jax.jit
+def _probs_f16(p):
+    return p.astype(jnp.float16)
 
 
 def simple_evaluate(eval_step, state, batches, num_classes,
@@ -104,8 +112,13 @@ class Evaluator:
                 else:
                     dev_batch = batch
                 res = eval_step(state, dev_batch)
+                # f16 transfer: probs are post-softmax ∈ [0,1] and the vote
+                # accumulators stay float32 on the host; halving the
+                # dominant device→host payload matters at ~35 MB/s tunnel
+                # bandwidth
                 pending.append(
-                    (batch, res[0], res[2] if len(res) == 3 else None))
+                    (batch, _probs_f16(res[0]),
+                     res[2] if len(res) == 3 else None))
                 if pipe.global_min > last_min + 1:
                     break
             for batch, probs, order in pending:

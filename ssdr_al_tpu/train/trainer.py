@@ -160,12 +160,15 @@ def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window",
         probs = jax.nn.softmax(logits, axis=-1)
         if not sorted_outputs:
             return probs, penult
+        # uint16 when row indices fit (N ≤ 65536): the tunnel moves
+        # ~35 MB/s, so the order payload halves for free
+        b, n = batch["xyz"].shape[:2]
+        odt = jnp.uint16 if n <= 65536 else jnp.int32
         if sorted_mode:
-            order = pyramid.order.astype(jnp.int32)
+            order = pyramid.order.astype(odt)
         else:
-            b, n = batch["xyz"].shape[:2]
             order = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+                jnp.arange(n, dtype=odt)[None], (b, n))
         return probs, penult, order
 
     return eval_step

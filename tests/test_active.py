@@ -675,3 +675,49 @@ class TestRegionGraphBuckets:
             s = len(comps)
             np.testing.assert_allclose(
                 graph.ed_cd[ci, :s, :s], ed + cd, rtol=1e-4, atol=1e-4)
+
+
+class TestDeviceRegionFeatures:
+    """region_feature_means (penult kept on device, one segment-mean with a
+    point→slot map) == the host reduceat path over the transferred f16
+    penult — for original-order AND sorted eval outputs."""
+
+    @pytest.mark.parametrize("sorted_stub", [False, True])
+    def test_matches_host_reduceat(self, rng, sorted_stub):
+        import dataclasses
+
+        from ssdr_al_tpu.active.samplers import InferenceRunner
+        from ssdr_al_tpu.config import get_config
+
+        cfg = dataclasses.replace(
+            get_config("S3DIS"), num_points=256, num_classes=5)
+        clouds = TestSortedEvalConsumers()._clouds(rng)
+        stub = TestVectorizedScoring._stub_eval_step
+        if sorted_stub:
+            stub = TestSortedEvalConsumers._perm_wrap(stub)
+
+        host = InferenceRunner(cfg, clouds, stub, None, "sb",
+                               seed=3, chunk_batch=4)
+        host_inf = host.run_many(clouds)
+        dev = InferenceRunner(cfg, clouds, stub, None, "sb",
+                              seed=3, chunk_batch=4,
+                              keep_penult_on_device=True)
+        dev_inf = dev.run_many(clouds)
+        assert all(v.penult is None for v in dev_inf.values())
+
+        # random disjoint "regions" per cloud
+        slot_maps, want, slot = {}, [], 0
+        for c in clouds:
+            sm = np.full(c.num_points, -1, np.int64)
+            perm = rng.permutation(c.num_points)
+            at = 0
+            for _ in range(4):
+                size = int(rng.randint(3, 40))
+                ids = np.sort(perm[at: at + size]); at += size
+                sm[ids] = slot
+                want.append(
+                    host_inf[c.name].penult[ids].astype(np.float32).mean(0))
+                slot += 1
+            slot_maps[c.name] = sm
+        got = dev.region_feature_means(slot_maps, slot)
+        np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-6)
