@@ -68,14 +68,21 @@ class TrainingPipeline:
         return stack_blocks(blocks)
 
     def batches(self, num_batches: int, batch_size: int,
-                prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
-        """Generator with background-thread prefetch."""
+                prefetch: int = 2,
+                transform=None) -> Iterator[Dict[str, np.ndarray]]:
+        """Generator with background-thread prefetch.
+
+        transform(batch) runs ON THE WORKER THREAD — pass narrowing +
+        jax.device_put here so the host→device upload overlaps the previous
+        step's device compute instead of serializing into the training loop
+        (device_put is thread-safe and mostly releases the GIL)."""
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
 
         def worker():
             for _ in range(num_batches):
-                q.put(self.sample_batch(batch_size))
+                b = self.sample_batch(batch_size)
+                q.put(transform(b) if transform is not None else b)
             q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)

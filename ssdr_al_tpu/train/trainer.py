@@ -96,6 +96,11 @@ def make_train_step(model: RandLANet, cfg: Config,
     def train_step(state: TrainState, batch, rng):
         pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
         dropout_rng = jax.random.fold_in(rng, state.step)
+        # widen narrow-transfer batches (shrink_train_batch) on device;
+        # no-ops for full-width inputs
+        pseudo = batch["pseudo"].astype(jnp.int32)
+        labels = batch["labels"].astype(jnp.int32)
+        activation = batch["activation"].astype(jnp.float32)
         # sorted fast path: the CE loss averages over points, so instead of
         # unsorting 13+32 channels of logits/penultimate (two [B,N]-row
         # gathers + backward scatters, ~6 ms/step at B=6×40960) permute the
@@ -103,13 +108,9 @@ def make_train_step(model: RandLANet, cfg: Config,
         sorted_mode = isinstance(pyramid, SortedPyramid)
         if sorted_mode:
             order = pyramid.order
-            pseudo = jnp.take_along_axis(batch["pseudo"], order, axis=1)
-            labels = jnp.take_along_axis(batch["labels"], order, axis=1)
-            activation = jnp.take_along_axis(
-                batch["activation"], order, axis=1)
-        else:
-            pseudo, labels = batch["pseudo"], batch["labels"]
-            activation = batch["activation"]
+            pseudo = jnp.take_along_axis(pseudo, order, axis=1)
+            labels = jnp.take_along_axis(labels, order, axis=1)
+            activation = jnp.take_along_axis(activation, order, axis=1)
 
         def loss_fn(params):
             (logits, _), new_state = model.apply(
@@ -123,7 +124,8 @@ def make_train_step(model: RandLANet, cfg: Config,
                 logits, pseudo, activation, labels,
                 weights, cfg.ignored_label_inds, table,
             )
-            return loss, (acc, new_state["batch_stats"], batch["activation"].sum())
+            # activation is the widened f32 copy (sum is permutation-invariant)
+            return loss, (acc, new_state["batch_stats"], activation.sum())
 
         (loss, (acc, new_bs, act_sum)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -134,6 +136,27 @@ def make_train_step(model: RandLANet, cfg: Config,
         return state, metrics
 
     return train_step
+
+
+def shrink_train_batch(batch, cfg: Config):
+    """Narrow the per-step host→device payload. The tunnel moves ~35 MB/s
+    each way (measured): a fresh B=6×40960 float32 batch is ~11.8 MB
+    (≈340 ms) — MORE than the ~165 ms device step, so a full-width host
+    pipeline transfer-starves training. features→bfloat16 when the model
+    computes in bfloat16 (bit-exact: fc0 casts on device anyway),
+    labels/pseudo→uint8 (num_classes ≤ 255), activation→uint8 {0,1};
+    train_step widens on device. 48 → 27 B/point."""
+    import ml_dtypes
+
+    out = dict(batch)
+    if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16:
+        out["features"] = np.asarray(batch["features"]).astype(
+            ml_dtypes.bfloat16)
+    if cfg.num_classes <= 255:
+        out["labels"] = np.asarray(batch["labels"]).astype(np.uint8)
+        out["pseudo"] = np.asarray(batch["pseudo"]).astype(np.uint8)
+    out["activation"] = np.asarray(batch["activation"]).astype(np.uint8)
+    return out
 
 
 def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window",
@@ -271,6 +294,7 @@ class Trainer:
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
             for batch in batch_iter_fn(epoch):
+                batch = shrink_train_batch(batch, cfg)
                 if self.mesh is not None:
                     from ssdr_al_tpu.parallel.mesh import shard_batch
 
