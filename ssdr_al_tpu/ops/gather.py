@@ -285,15 +285,38 @@ def _scatter_fits_vmem(n: int, c: int, tq: int, k: int) -> bool:
     return 3 * n * c * 4 + 4 * tq * k * c * 4 <= 13_000_000
 
 
+def _scatter_parts(n: int, c: int, tq: int, k: int) -> int:
+    """Number of contiguous channel slices to split the backward scatter
+    into (0 = no split fits → XLA scatter-add fallback). The footprint is
+    linear in c (three [n, c] slabs), so an oversize shape can run as
+    `parts` narrower launches — each re-pays only the one-hot builds (the
+    per-j matmuls shrink with c). Recovers pool-L0 (n=40960, c=32: 16.9M
+    whole → 8.6M halved) and pool-L1 (n=10240, c=128: 19.9M → 10.0M at
+    c=64) from the fallback."""
+    parts = 1
+    while not _scatter_fits_vmem(n, c // parts, tq, k):
+        nxt = parts * 2
+        if (c % nxt or c // nxt < 16 or (k * (c // nxt)) % 128):
+            return 0
+        parts = nxt
+    return parts
+
+
 def _gather_window_bwd(window, tq, res, g):
     token, idx, starts = res
     _, b, n, c = token.shape
-    fold = _pick_fold(c, window)
-    if (jax.default_backend() == "tpu"
-            and _scatter_fits_vmem(n, c, tq, idx.shape[-1])):
-        dv = _scatter_window_impl(
-            g.astype(jnp.float32), idx, starts, n, window, tq, fold
-        )
+    k = idx.shape[-1]
+    parts = _scatter_parts(n, c, tq, k)
+    if jax.default_backend() == "tpu" and parts:
+        cs = c // parts
+        fold = _pick_fold(cs, window)
+        dv = jnp.concatenate([
+            _scatter_window_impl(
+                g[..., i * cs:(i + 1) * cs].astype(jnp.float32),
+                idx, starts, n, window, tq, fold,
+            )
+            for i in range(parts)
+        ], axis=-1)
     else:
         # scatter-add the cotangent rows back into the value rows
         flat = idx.reshape(b, -1)

@@ -211,13 +211,20 @@ class TestScatterVmemGuard:
     this guard was missing)."""
 
     def test_production_shapes(self):
-        from ssdr_al_tpu.ops.gather import _scatter_fits_vmem
+        from ssdr_al_tpu.ops.gather import _scatter_fits_vmem, _scatter_parts
 
         assert _scatter_fits_vmem(40960, 16, 512, 16)      # LFA L0
         # pool L0 measured 16.86M scoped with the bf16 gather output
-        # (3·n·c·4 + 4·tq·k·c·4) → must take the XLA scatter-add fallback
+        # (3·n·c·4 + 4·tq·k·c·4) → whole-slab launch doesn't fit ...
         assert not _scatter_fits_vmem(40960, 32, 128, 16)
-        assert not _scatter_fits_vmem(10240, 128, 128, 16)  # pool L1 → XLA
+        assert not _scatter_fits_vmem(10240, 128, 128, 16)  # pool L1
+        # ... but the channel-split backward recovers both from the XLA
+        # scatter-add fallback
+        assert _scatter_parts(40960, 16, 512, 16) == 1      # LFA L0 whole
+        assert _scatter_parts(40960, 32, 128, 16) == 2      # pool L0 halves
+        assert _scatter_parts(10240, 128, 128, 16) == 2     # pool L1 halves
+        # un-splittable oversize shapes still fall back
+        assert _scatter_parts(10_000_000, 16, 128, 16) == 0
 
 
 class TestSortedFastPath:
@@ -279,6 +286,48 @@ class TestSortedFastPath:
         for b in range(B):
             np.add.at(want[b], idx.reshape(-1),
                       w[b].reshape(-1, C))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(dv / scale, want / scale,
+                                   rtol=0, atol=1.5e-2)
+
+    def test_gather_window_backward_split_matches_scatter(self, rng,
+                                                          monkeypatch):
+        """The channel-split scatter backward (forced parts=2 via the fit
+        gate) must agree with the XLA scatter-add oracle — the pool-L0/L1
+        recovery path."""
+        import jax
+
+        from ssdr_al_tpu.ops import gather as gmod
+
+        N, k, W, TQ, B, C = 2048, 16, 1024, 128, 2, 32
+        # force the split decision at this small shape: whole-C doesn't
+        # "fit", C/2 does
+        real_fits = gmod._scatter_fits_vmem
+        monkeypatch.setattr(
+            gmod, "_scatter_fits_vmem",
+            lambda n, c, tq, kk: c < C and real_fits(n, c, tq, kk))
+        assert gmod._scatter_parts(N, C, TQ, k) == 2
+        pos = np.arange(N)
+        starts = np.clip(((pos[::TQ]) // 128) * 128 - W // 2, 0, N - W)
+        starts = ((starts // 128) * 128).astype(np.int32)
+        idx = np.zeros((N, k), np.int32)
+        for t in range(N // TQ):
+            idx[t * TQ:(t + 1) * TQ] = rng.randint(
+                starts[t], starts[t] + W, (TQ, k))
+        f = rng.rand(B, N, C).astype(np.float32)
+        w = rng.rand(B, N, k, C).astype(np.float32)
+        idx_b = jnp.asarray(np.broadcast_to(idx, (B, N, k))).copy()
+        st_b = jnp.asarray(np.broadcast_to(starts, (B, len(starts)))).copy()
+        wd = jnp.asarray(w)
+
+        def loss(v):
+            out = gmod.gather_window(v, idx_b, st_b, W, TQ)
+            return jnp.sum(out * wd)
+
+        dv = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(f)))
+        want = np.zeros((B, N, C), np.float32)
+        for b in range(B):
+            np.add.at(want[b], idx.reshape(-1), w[b].reshape(-1, C))
         scale = np.abs(want).max()
         np.testing.assert_allclose(dv / scale, want / scale,
                                    rtol=0, atol=1.5e-2)
