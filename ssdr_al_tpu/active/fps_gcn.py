@@ -86,6 +86,12 @@ def gcn_fps_sampling(
     Returns {cloud_name: [sp_idx]} of selected regions.
     """
     rng = rng or np.random.RandomState()
+    if not np.any(unlabeled_flags) or sampling_batch <= 0:
+        # exhausted pool (late AL rounds can drain every unlabeled
+        # superpoint): nothing to select. The reference crashes here
+        # (np.random.randint(0, 0) in fps_gcn_cpu.py:155) — returning an
+        # empty selection lets the driver finish the horizon instead.
+        return {}
     adj = _normalize_adjacency(
         jnp.asarray(graph.ed_cd), jnp.asarray(graph.mask), int(gcn_top)
     )

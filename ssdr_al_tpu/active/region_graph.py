@@ -31,6 +31,10 @@ _S_LADDER = [16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
              1536, 2048, 3072, 4096]
 _P_LADDER = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
+# fixed block count per chamfer dispatch: keeps the compiled shape set
+# closed (see build_region_graph's enqueue loop)
+_G_CHUNK = 8
+
 
 # wall-clock of the last build_region_graph call's internal phases
 # (pad / chamfer enqueue / chamfer wait / ed_cd assembly) — consumed by the
@@ -192,21 +196,31 @@ def build_region_graph(
     LAST_TIMINGS["pad_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     # enqueue every group's chamfer before converting any result: each
-    # conversion blocks on the device, and groups are independent
+    # conversion blocks on the device, and groups are independent.
+    # Groups are dispatched in FIXED chunks of _G_CHUNK blocks (last chunk
+    # zero-padded): the compiled program shape is then always
+    # (_G_CHUNK, sb, p) — a closed set of ladder rungs that the persistent
+    # compile cache retains forever. Padding the group count to a drifting
+    # multiple-of-8 instead produced a fresh (g, sb, p) shape per AL round
+    # (clouds migrate between (sb, p) buckets as labeling grows) and each
+    # fresh shape paid a 7-12 s XLA compile: measured 14-21 s of
+    # chamfer_enqueue per 200-cloud round EVERY round, dwarfing the ~2 s of
+    # actual chamfer compute.
     launched = []
     for sb, p in sorted({pc[5] for pc in per_cloud}):
         group = [pc for pc in per_cloud if pc[5] == (sb, p)]
-        g = -(-len(group) // 8) * 8  # block count in 8s (drifts per round)
-        pts_g = np.zeros((g, sb, p, 3), np.float32)
-        msk_g = np.zeros((g, sb, p), bool)
-        for gi, (_, _, _, pts, msk, _) in enumerate(group):
-            pts_g[gi, : pts.shape[0], : pts.shape[1]] = pts
-            msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
-        # chamfer_pairwise chunks its own target dim to a bounded live
-        # block, so a fixed row_chunk is safe at any S/P
-        launched.append((group, chamfer_pairwise_blocks(
-            jnp.asarray(pts_g), jnp.asarray(msk_g), 8
-        )))
+        for lo in range(0, len(group), _G_CHUNK):
+            chunk = group[lo:lo + _G_CHUNK]
+            pts_g = np.zeros((_G_CHUNK, sb, p, 3), np.float32)
+            msk_g = np.zeros((_G_CHUNK, sb, p), bool)
+            for gi, (_, _, _, pts, msk, _) in enumerate(chunk):
+                pts_g[gi, : pts.shape[0], : pts.shape[1]] = pts
+                msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
+            # chamfer_pairwise chunks its own target dim to a bounded live
+            # block, so a fixed row_chunk is safe at any S/P
+            launched.append((chunk, chamfer_pairwise_blocks(
+                jnp.asarray(pts_g), jnp.asarray(msk_g), 8
+            )))
     LAST_TIMINGS["chamfer_enqueue_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     cd_by_cloud = {}

@@ -775,6 +775,12 @@ class TSampler:
         anchors = self.select_labeled_anchors(labeled_by_cloud, round_num)
         sampling_batch = sum(len(v) for v in top_by_cloud.values())
         self.phase_times["div_cand_anchor_s"] = time.perf_counter() - t0
+        if sampling_batch == 0:
+            # exhausted unlabeled pool (late AL rounds): no candidates, so
+            # skip the graph/diversity work entirely instead of building an
+            # anchors-only graph (the reference crashes at this point —
+            # fps_gcn_cpu.py:155)
+            return {}
         t0 = time.perf_counter()
 
         regions_by_cloud: Dict[str, list] = {}

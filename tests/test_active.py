@@ -677,6 +677,67 @@ class TestRegionGraphBuckets:
                 graph.ed_cd[ci, :s, :s], ed + cd, rtol=1e-4, atol=1e-4)
 
 
+    def test_gcn_fps_exhausted_pool_returns_empty(self, rng):
+        """When every superpoint is labeled (late AL rounds drain the pool),
+        gcn_fps_sampling returns {} instead of crashing on randint(0, 0)
+        (the reference's behavior at fps_gcn_cpu.py:155)."""
+        from ssdr_al_tpu.active.fps_gcn import gcn_fps_sampling
+        from ssdr_al_tpu.active.region_graph import build_region_graph
+
+        comps = [np.arange(i * 4, (i + 1) * 4, dtype=np.int64)
+                 for i in range(4)]
+        regions = {"c0": [(r, True, comps[r][:1]) for r in range(4)]}
+        graph = build_region_graph(
+            regions, {"c0": rng.rand(16, 3).astype(np.float32)},
+            {"c0": comps}, max_points_per_sp=8)
+        out = gcn_fps_sampling(
+            graph, rng.rand(4, 8).astype(np.float32),
+            np.zeros(4, bool), 10, rng=np.random.RandomState(0))
+        assert out == {}
+
+    def test_chamfer_dispatch_shapes_are_closed(self, rng, monkeypatch):
+        """Every chamfer dispatch in build_region_graph has the FIXED block
+        count _G_CHUNK and ladder-rung (S, P) dims — the compiled-shape set
+        is closed, so AL rounds with drifting per-cloud region counts never
+        trigger fresh XLA compiles (a drifting group-count dim cost 14-21 s
+        of recompiles per 200-cloud round; see build_region_graph)."""
+        from ssdr_al_tpu.active import region_graph as rg
+
+        seen = []
+        real = rg.chamfer_pairwise_blocks
+
+        def spy(points, mask, row_chunk=8):
+            seen.append(tuple(points.shape))
+            return real(points, mask, row_chunk)
+
+        monkeypatch.setattr(rg, "chamfer_pairwise_blocks", spy)
+
+        # two builds with different cloud counts / drifted region counts —
+        # the kind of shape drift an AL round produces
+        for n_clouds, base in [(5, 3), (11, 7)]:
+            regions, cloud_xyz, components = {}, {}, {}
+            for ci in range(n_clouds):
+                name = f"c{ci}"
+                n_reg = base + ci
+                comps, at = [], 0
+                for r in range(n_reg):
+                    sz = int(rng.randint(2, 40))
+                    comps.append(np.arange(at, at + sz, dtype=np.int64))
+                    at += sz
+                cloud_xyz[name] = rng.rand(at, 3).astype(np.float32)
+                components[name] = comps
+                regions[name] = [(r, False, comps[r][:1])
+                                 for r in range(n_reg)]
+            rg.build_region_graph(regions, cloud_xyz, components,
+                                  max_points_per_sp=64)
+
+        assert seen, "no chamfer dispatches recorded"
+        for g, sb, p, _ in seen:
+            assert g == rg._G_CHUNK
+            assert sb in rg._S_LADDER
+            assert p in rg._P_LADDER
+
+
 class TestDeviceRegionFeatures:
     """region_feature_means (penult kept on device, one segment-mean with a
     point→slot map) == the host reduceat path over the transferred f16
