@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks
+import os
+
+from ssdr_al_tpu.ops.chamfer import (
+    chamfer_pairwise_blocks,
+    chamfer_pairwise_blocks_gathered,
+)
 
 
 # geometric shape ladders for the chamfer blocks (see build_region_graph):
@@ -127,12 +132,134 @@ def pad_regions_vectorized(
     return centroids, pts, msk
 
 
+class SuperpointBlockCache:
+    """Device-resident padded superpoint blocks, uploaded ONCE per run.
+
+    Superpoint point sets are STATIC for a whole AL run, but the streaming
+    chamfer path re-padded and re-uploaded every round's candidate+anchor
+    blocks — ~100 MB of [C, S, P, 3] float32 per 200-cloud round over a
+    ~25 MB/s host link (measured 4-20 s of chamfer enqueue). This cache
+    pads EVERY superpoint of a cloud once (pad_regions_vectorized, same
+    linspace-subsample semantics, capped at max_points_per_sp), stacks all
+    clouds of the same P rung into one [R, P, 3] device slab with a
+    trailing all-False trash row, and each round gathers candidate rows on
+    device from a few-KB idx upload (ops/chamfer.py
+    chamfer_pairwise_blocks_gathered).
+
+    Memory is bounded by SSDR_CHAMFER_CACHE_MB (default 384): clouds that
+    would push a slab past the budget are left uncached and stream through
+    the old path. Values are IDENTICAL to the streaming path: the padded
+    width only affects a region's points when the subsample cap binds
+    (L > width), and in that case both paths use exactly `max_points_per_sp`
+    — wider all-superpoint padding beyond a round's largest selected region
+    is masked, and masked columns don't change chamfer
+    (tests/test_active.py::TestRegionGraphBuckets)."""
+
+    def __init__(self, max_points_per_sp: Optional[int] = 512):
+        self.cap = max_points_per_sp
+        budget_mb = float(os.environ.get("SSDR_CHAMFER_CACHE_MB", "384"))
+        self._budget = int(budget_mb * 1e6)
+        self._bytes = 0
+        # staged host arrays per p_rung, pending device upload
+        self._staged: Dict[int, list] = {}
+        self._device: Dict[int, tuple] = {}     # p_rung -> (pts, msk) on device
+        self._info: Dict[str, tuple] = {}       # name -> (p_rung, base, S)
+        self._centroids: Dict[str, np.ndarray] = {}
+        self._bases: Dict[int, int] = {}        # next base per p_rung
+
+    def has(self, name: str) -> bool:
+        return name in self._info
+
+    def ensure(self, name: str, xyz: np.ndarray,
+               components: List[np.ndarray]) -> bool:
+        """Stage a cloud's full superpoint set (no-op if already cached).
+        Returns False if the memory budget rejects it."""
+        if name in self._info:
+            return True
+        empty = np.fromiter((len(c) == 0 for c in components), bool,
+                            count=len(components))
+        if empty.any():
+            # reduceat/linspace indexing need ≥1 id per region; substitute a
+            # dummy id and blank the row below (its mask row is all-False,
+            # so chamfer treats it as an empty region: cd row/col = 0)
+            components = [c if len(c) else np.zeros(1, np.int64)
+                          for c in components]
+        centroids, pts, msk = pad_regions_vectorized(
+            xyz, components, self.cap
+        )
+        if empty.any():
+            centroids[empty] = 0.0
+            pts[empty] = 0.0
+            msk[empty] = False
+        p_rung = _ladder(pts.shape[1], _P_LADDER)
+        s = pts.shape[0]
+        nbytes = s * p_rung * (3 * 4 + 1)
+        if self._bytes + nbytes > self._budget:
+            return False
+        if pts.shape[1] < p_rung:
+            pad = p_rung - pts.shape[1]
+            pts = np.pad(pts, ((0, 0), (0, pad), (0, 0)))
+            msk = np.pad(msk, ((0, 0), (0, pad)))
+        self._bytes += nbytes
+        base = self._bases.get(p_rung, 0)
+        self._staged.setdefault(p_rung, []).append((pts, msk))
+        self._info[name] = (p_rung, base, s)
+        self._centroids[name] = centroids
+        self._bases[p_rung] = base + s
+        return True
+
+    def finalize(self):
+        """Upload staged clouds. Re-concatenates a rung's slab when new
+        clouds were staged since the last upload (normally only the first
+        selection round stages anything)."""
+        for p_rung, staged in self._staged.items():
+            old = self._device.get(p_rung)
+            parts = ([np.asarray(old[0])[:-1], np.asarray(old[1])[:-1]]
+                     if old is not None else None)
+            pts_new = np.concatenate(
+                ([parts[0]] if parts else [])
+                + [p for p, _ in staged]
+                + [np.zeros((1, p_rung, 3), np.float32)]
+            )
+            msk_new = np.concatenate(
+                ([parts[1]] if parts else [])
+                + [m for _, m in staged]
+                + [np.zeros((1, p_rung), bool)]
+            )
+            self._device[p_rung] = (jnp.asarray(pts_new), jnp.asarray(msk_new))
+        self._staged.clear()
+
+    def p_rung(self, name: str) -> int:
+        return self._info[name][0]
+
+    def centroids(self, name: str) -> np.ndarray:
+        return self._centroids[name]
+
+    def rows(self, name: str, sp_ids: np.ndarray) -> np.ndarray:
+        """Global slab row of each superpoint id (for the device gather)."""
+        _, base, s = self._info[name]
+        sp_ids = np.asarray(sp_ids)
+        if sp_ids.size and (sp_ids.min() < 0 or sp_ids.max() >= s):
+            raise IndexError(f"superpoint id out of range for {name}")
+        return base + sp_ids
+
+    def trash_row(self, p_rung: int) -> int:
+        """Index of the all-False trailing row (absorbs padding slots)."""
+        return int(self._device[p_rung][0].shape[0]) - 1
+
+    def chamfer(self, p_rung: int, idx: np.ndarray):
+        """Enqueue gathered chamfer for idx [C, S] slab rows → [C, S, S]."""
+        pts, msk = self._device[p_rung]
+        return chamfer_pairwise_blocks_gathered(pts, msk, jnp.asarray(idx), 8)
+
+
 def build_region_graph(
     regions_by_cloud: Dict[str, List[Tuple[int, bool, np.ndarray]]],
     cloud_xyz: Dict[str, np.ndarray],
     components: Dict[str, List[np.ndarray]],
     *,
     max_points_per_sp: Optional[int] = 512,
+    cache: Optional[SuperpointBlockCache] = None,
 ) -> RegionGraph:
     """regions_by_cloud: {cloud: [(sp_idx, is_labeled, dominant_point_ids)]}.
 
@@ -171,14 +298,10 @@ def build_region_graph(
     # calls would pay ~30 ms dispatch each at 200-cloud scale, while one
     # global P pad would inflate every block's O(S²P²) work to the largest
     # cloud's superpoint size
-    per_cloud = []
+    per_cloud = []      # streaming: (name, regs, centroids, pts, msk, (sb, p))
+    per_cached = []     # cache hits: (name, regs, centroids, rows, (sb, p))
     for name in cloud_names:
         regs = regions_by_cloud[name]
-        xyz = cloud_xyz[name]
-        comps = components[name]
-        centroids, pts, msk = pad_regions_vectorized(
-            xyz, [comps[sp_idx] for sp_idx, _, _ in regs], max_points_per_sp
-        )
         # per-cloud buckets: chamfer work is O(S²·P²), so padding every
         # cloud to the GLOBAL s_max (or a 64-point P floor when superpoints
         # are small) wastes quadratically. Buckets must also be COARSE:
@@ -189,6 +312,19 @@ def build_region_graph(
         # Geometric ladders bound the waste (≤ ~2.3× in S²) with a handful
         # of stable shapes that the persistent compile cache retains.
         s_bucket = _ladder(len(regs), _S_LADDER)
+        if cache is not None and cache.has(name):
+            sp_ids = np.fromiter((sp for sp, _, _ in regs), np.int64,
+                                 count=len(regs))
+            per_cached.append((
+                name, regs, cache.centroids(name)[sp_ids],
+                cache.rows(name, sp_ids), (s_bucket, cache.p_rung(name)),
+            ))
+            continue
+        xyz = cloud_xyz[name]
+        comps = components[name]
+        centroids, pts, msk = pad_regions_vectorized(
+            xyz, [comps[sp_idx] for sp_idx, _, _ in regs], max_points_per_sp
+        )
         p_bucket = _ladder(msk.shape[1], _P_LADDER)
         per_cloud.append((name, regs, centroids, pts, msk,
                           (s_bucket, p_bucket)))
@@ -207,6 +343,18 @@ def build_region_graph(
     # chamfer_enqueue per 200-cloud round EVERY round, dwarfing the ~2 s of
     # actual chamfer compute.
     launched = []
+    # cache hits first: idx-only uploads (a few KB) against the resident
+    # slab — enqueue before the streaming groups so their device work
+    # overlaps the streaming groups' host packing/transfers
+    for sb, p in sorted({pc[4] for pc in per_cached}):
+        group = [pc for pc in per_cached if pc[4] == (sb, p)]
+        trash = cache.trash_row(p)
+        for lo in range(0, len(group), _G_CHUNK):
+            chunk = group[lo:lo + _G_CHUNK]
+            idx = np.full((_G_CHUNK, sb), trash, np.int32)
+            for gi, (_, _, _, rows, _) in enumerate(chunk):
+                idx[gi, : rows.shape[0]] = rows
+            launched.append(([pc[0] for pc in chunk], cache.chamfer(p, idx)))
     for sb, p in sorted({pc[5] for pc in per_cloud}):
         group = [pc for pc in per_cloud if pc[5] == (sb, p)]
         for lo in range(0, len(group), _G_CHUNK):
@@ -218,20 +366,24 @@ def build_region_graph(
                 msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
             # chamfer_pairwise chunks its own target dim to a bounded live
             # block, so a fixed row_chunk is safe at any S/P
-            launched.append((chunk, chamfer_pairwise_blocks(
+            launched.append(([pc[0] for pc in chunk], chamfer_pairwise_blocks(
                 jnp.asarray(pts_g), jnp.asarray(msk_g), 8
             )))
     LAST_TIMINGS["chamfer_enqueue_s"] = time.perf_counter() - t0
+    LAST_TIMINGS["cached_clouds"] = float(len(per_cached))
     t0 = time.perf_counter()
     cd_by_cloud = {}
-    for group, cd_dev in launched:
+    for names, cd_dev in launched:
         cd_g = np.asarray(cd_dev)
-        for gi, (name, _, _, _, _, _) in enumerate(group):
+        for gi, name in enumerate(names):
             cd_by_cloud[name] = cd_g[gi]
     LAST_TIMINGS["chamfer_wait_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
 
-    for ci, (name, regs, centroids, _, _, _) in enumerate(per_cloud):
+    assembled = ([(n, r, c_) for n, r, c_, _, _, _ in per_cloud]
+                 + [(n, r, c_) for n, r, c_, _, _ in per_cached])
+    assembled.sort(key=lambda e: cloud_names.index(e[0]))
+    for ci, (name, regs, centroids) in enumerate(assembled):
         diff = centroids[:, None, :] - centroids[None, :, :]
         ed = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
         s = len(regs)

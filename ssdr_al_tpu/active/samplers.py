@@ -517,6 +517,11 @@ class TSampler:
         self.mesh = mesh  # optional Mesh: selection inference is data-parallel
         self._gt_dom_cache: Dict[str, tuple] = {}
         self._runner = None  # round-lifetime InferenceRunner (device buffers)
+        # run-lifetime device-resident superpoint blocks for the diversity
+        # chamfer (region_graph.SuperpointBlockCache): superpoint point sets
+        # never change within a run, so pad+upload once and gather by index
+        # each round instead of re-streaming ~100 MB of padded blocks
+        self._block_cache = None
         self.phase_times: Dict[str, float] = {}
 
     # -------------------------------------------------------- prediction ---
@@ -801,9 +806,18 @@ class TSampler:
         components = {
             n: self.state.load_superpoints(n).components for n in regions_by_cloud
         }
+        if self._block_cache is None:
+            from ssdr_al_tpu.active.region_graph import SuperpointBlockCache
+
+            self._block_cache = SuperpointBlockCache(
+                max_points_per_sp=a.chamfer_cap or None)
+        for n in regions_by_cloud:
+            self._block_cache.ensure(n, cloud_xyz[n], components[n])
+        self._block_cache.finalize()
         graph = build_region_graph(
             regions_by_cloud, cloud_xyz, components,
             max_points_per_sp=a.chamfer_cap or None,
+            cache=self._block_cache,
         )
         for k, v in _rg.LAST_TIMINGS.items():
             self.phase_times[f"div_graph_{k}"] = v

@@ -92,6 +92,25 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     return cd * (1.0 - jnp.eye(s, dtype=cd.dtype))
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8):
+    """chamfer_pairwise_blocks over blocks GATHERED on device from a
+    resident slab: points_all [R, P, 3], mask_all [R, P], idx [C, S] int32
+    rows into R (a trailing all-False trash row absorbs padding slots).
+    Returns [C, S, S].
+
+    The slab stays in HBM across AL rounds (superpoint point sets are
+    static for a whole run) so a selection round uploads only `idx` —
+    a few KB — instead of re-streaming [C, S, P, 3] float32 blocks over a
+    ~25 MB/s host link (region_graph.SuperpointBlockCache)."""
+    pts = points_all[idx]                       # [C, S, P, 3]
+    msk = mask_all[idx]                         # [C, S, P]
+    return jax.lax.map(
+        lambda args: chamfer_pairwise(args[0], args[1], row_chunk),
+        (pts, msk),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def chamfer_pairwise_blocks(points, mask, row_chunk=8):
     """Batched chamfer_pairwise over per-cloud blocks in ONE device call.

@@ -677,6 +677,89 @@ class TestRegionGraphBuckets:
                 graph.ed_cd[ci, :s, :s], ed + cd, rtol=1e-4, atol=1e-4)
 
 
+    @staticmethod
+    def _make_workload(rng, specs):
+        """specs: [(n_reg, max_sz)] per cloud; region list selects a
+        SUBSET of superpoints (every other one) like a real round."""
+        regions, cloud_xyz, components = {}, {}, {}
+        for ci, (n_reg, max_sz) in enumerate(specs):
+            name = f"c{ci}"
+            comps, at = [], 0
+            for r in range(n_reg):
+                sz = int(rng.randint(2, max_sz + 1)) if r else max_sz
+                comps.append(np.arange(at, at + sz, dtype=np.int64))
+                at += sz
+            cloud_xyz[name] = (rng.rand(at, 3) * 6).astype(np.float32)
+            components[name] = comps
+            regions[name] = [(r, False, comps[r][:2])
+                             for r in range(0, n_reg, 2)]
+        return regions, cloud_xyz, components
+
+    def test_block_cache_matches_streaming(self, rng):
+        """Device-resident SuperpointBlockCache chamfer == streaming path,
+        exactly — including clouds where the subsample cap binds and clouds
+        whose largest superpoint exceeds the round's largest SELECTED one
+        (the padded width is masked, so cd is unchanged)."""
+        from ssdr_al_tpu.active.region_graph import (
+            SuperpointBlockCache,
+            build_region_graph,
+        )
+
+        specs = [(5, 10), (21, 10), (4, 300), (9, 40)]
+        regions, cloud_xyz, components = self._make_workload(rng, specs)
+        base = build_region_graph(
+            regions, cloud_xyz, components, max_points_per_sp=64)
+
+        cache = SuperpointBlockCache(max_points_per_sp=64)
+        for n in regions:
+            assert cache.ensure(n, cloud_xyz[n], components[n])
+        cache.finalize()
+        got = build_region_graph(
+            regions, cloud_xyz, components, max_points_per_sp=64,
+            cache=cache)
+
+        assert got.cloud_names == base.cloud_names
+        assert [r.sp_idx for r in got.refs] == [r.sp_idx for r in base.refs]
+        np.testing.assert_array_equal(got.mask, base.mask)
+        np.testing.assert_allclose(got.ed_cd, base.ed_cd, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_block_cache_budget_rejects_and_streams(self, rng, monkeypatch):
+        """A cache with a ~zero budget rejects every cloud; the graph build
+        falls back to streaming and still produces identical results."""
+        monkeypatch.setenv("SSDR_CHAMFER_CACHE_MB", "0.0001")
+        from ssdr_al_tpu.active.region_graph import (
+            SuperpointBlockCache,
+            build_region_graph,
+        )
+
+        regions, cloud_xyz, components = self._make_workload(
+            rng, [(5, 10), (4, 30)])
+        cache = SuperpointBlockCache(max_points_per_sp=64)
+        for n in regions:
+            assert not cache.ensure(n, cloud_xyz[n], components[n])
+        cache.finalize()
+        base = build_region_graph(
+            regions, cloud_xyz, components, max_points_per_sp=64)
+        got = build_region_graph(
+            regions, cloud_xyz, components, max_points_per_sp=64,
+            cache=cache)
+        np.testing.assert_allclose(got.ed_cd, base.ed_cd, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_block_cache_handles_empty_components(self, rng):
+        """Empty superpoints (size-0 components) get an all-False mask row:
+        chamfer treats them as empty regions (cd row 0), no crash."""
+        from ssdr_al_tpu.active.region_graph import SuperpointBlockCache
+
+        comps = [np.arange(0, 5, dtype=np.int64), np.zeros(0, np.int64),
+                 np.arange(5, 12, dtype=np.int64)]
+        cache = SuperpointBlockCache(max_points_per_sp=8)
+        assert cache.ensure("c0", rng.rand(12, 3).astype(np.float32), comps)
+        cache.finalize()
+        pts, msk = cache._device[cache.p_rung("c0")]
+        assert not bool(np.asarray(msk)[1].any())
+
     def test_gcn_fps_exhausted_pool_returns_empty(self, rng):
         """When every superpoint is labeled (late AL rounds drain the pool),
         gcn_fps_sampling returns {} instead of crashing on randint(0, 0)
