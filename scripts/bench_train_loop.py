@@ -7,8 +7,10 @@ tunnel moves ~35 MB/s each way (measured), so a full-width fresh batch
 production pattern (TrainingPipeline prefetch → train_step per fresh batch):
 
   wide    — float32/int32 batches (48 B/point)
-  narrow  — shrink_train_batch: bf16 features, u8 labels/pseudo/activation
-            (27 B/point)
+  narrow  — shrink_train_batch(quantize=False): bf16 features, u8
+            labels/pseudo/activation (27 B/point)
+  quant   — shrink_train_batch(quantize=True): u16 xyz/feat-xyz grids,
+            u8 colors/labels/pseudo/activation (12.25 B/point)
   resident— same device batch every step (bench.py's compute floor)
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_train_loop.py
@@ -74,12 +76,17 @@ def main():
     key = jax.random.PRNGKey(1)
     pts = args.batch * cfg.num_points
 
+    def shrink(mode, b):
+        if mode.startswith("narrow"):
+            return shrink_train_batch(b, cfg, quantize=False)
+        if mode.startswith("quant"):
+            return shrink_train_batch(b, cfg, quantize=True)
+        return b
+
     def run(mode):
         nonlocal state
         # compile + warm
-        b = pipe.sample_batch(args.batch)
-        if mode.startswith("narrow"):
-            b = shrink_train_batch(b, cfg)
+        b = shrink(mode, pipe.sample_batch(args.batch))
         s2, m = train_step(state, b, key)
         float(m["loss"])
         if mode == "resident":
@@ -92,19 +99,18 @@ def main():
         devput = mode.endswith("+devput")
         gen = pipe.batches(args.steps, args.batch, prefetch=2,
                            transform=(
-                               (lambda b: jax.device_put(
-                                   shrink_train_batch(b, cfg)))
+                               (lambda b: jax.device_put(shrink(mode, b)))
                                if devput else None))
         t0 = time.perf_counter()
         for b in gen:
-            if mode == "narrow":
-                b = shrink_train_batch(b, cfg)
+            if not devput:
+                b = shrink(mode, b)
             s2, m = train_step(s2, b, key)
         float(m["loss"])
         return (time.perf_counter() - t0) / args.steps
 
-    for mode in ("resident", "wide", "narrow", "narrow+devput",
-                 "wide", "narrow", "narrow+devput"):
+    for mode in ("resident", "wide", "narrow", "quant",
+                 "wide", "narrow", "quant", "quant"):
         dt = run(mode)
         print(f"{mode:9s}: {dt * 1e3:7.1f} ms/step  "
               f"{pts / dt / 1e6:6.3f} M pts/s", flush=True)

@@ -94,10 +94,11 @@ def make_train_step(model: RandLANet, cfg: Config,
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):
-        pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
-        dropout_rng = jax.random.fold_in(rng, state.step)
         # widen narrow-transfer batches (shrink_train_batch) on device;
         # no-ops for full-width inputs
+        xyz, features = widen_train_batch(batch)
+        pyramid = build_pyramid(xyz, cfg, engine=knn_engine)
+        dropout_rng = jax.random.fold_in(rng, state.step)
         pseudo = batch["pseudo"].astype(jnp.int32)
         labels = batch["labels"].astype(jnp.int32)
         activation = batch["activation"].astype(jnp.float32)
@@ -115,7 +116,7 @@ def make_train_step(model: RandLANet, cfg: Config,
         def loss_fn(params):
             (logits, _), new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["features"], pyramid, True,
+                features, pyramid, True,
                 unsort=not sorted_mode,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
@@ -138,18 +139,52 @@ def make_train_step(model: RandLANet, cfg: Config,
     return train_step
 
 
-def shrink_train_batch(batch, cfg: Config):
-    """Narrow the per-step host→device payload. The tunnel moves ~35 MB/s
+def _quantize_cols(x: np.ndarray, qmax: int, dtype) -> tuple:
+    """Per-channel affine quantization of x [B, N, C] to `dtype`
+    (x ≈ lo + q·sc). lo/sc are returned tiled to [B, 1, C] so a
+    data-parallel shard_batch can split their batch axis like any other
+    leaf."""
+    b, _, c = x.shape
+    lo = x.min(axis=(0, 1))
+    sc = np.maximum((x.max(axis=(0, 1)) - lo) / qmax, 1e-12)
+    q = np.clip(np.rint((x - lo[None, None]) / sc[None, None]), 0, qmax)
+    tile = lambda v: np.broadcast_to(  # noqa: E731
+        v.astype(np.float32), (b, 1, c)).copy()
+    return q.astype(dtype), tile(lo), tile(sc)
+
+
+def shrink_train_batch(batch, cfg: Config, *, quantize: bool = True):
+    """Narrow the per-step host→device payload. The tunnel moves ~25-35 MB/s
     each way (measured): a fresh B=6×40960 float32 batch is ~11.8 MB
     (≈340 ms) — MORE than the ~165 ms device step, so a full-width host
-    pipeline transfer-starves training. features→bfloat16 when the model
-    computes in bfloat16 (bit-exact: fc0 casts on device anyway),
-    labels/pseudo→uint8 (num_classes ≤ 255), activation→uint8 {0,1};
-    train_step widens on device. 48 → 27 B/point."""
+    pipeline transfer-starves training.
+
+    labels/pseudo→uint8 (num_classes ≤ 255), activation→uint8 {0,1}, and
+    with quantize=True (default) the coordinate payloads go affine-quantized
+    (train_step dequantizes on device):
+      xyz              → uint16 grid (≤0.08 mm error on a 10 m block — far
+                         below the 0.04 m subsample grid and the morton
+                         code's own 10-bit/axis quantization)
+      features[:, :3]  → uint16 (the augmented xyz; finer than the bf16
+                         cast the model applies anyway)
+      features[:, 3:]  → uint8 (colors; prepared clouds store u8/255, so
+                         the round-trip is exact up to one f32 rounding)
+    48 → 12.25 B/point. quantize=False keeps the round-2 behavior
+    (bf16 features when the model computes in bfloat16): 27 B/point."""
     import ml_dtypes
 
     out = dict(batch)
-    if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16:
+    if quantize:
+        xyz = np.asarray(batch["xyz"], np.float32)
+        out["xyz"], out["xyz_lo"], out["xyz_sc"] = _quantize_cols(
+            xyz, 65535, np.uint16)
+        feats = np.asarray(batch["features"], np.float32)
+        del out["features"]
+        (out["feat_xyz"], out["feat_lo"], out["feat_sc"]) = _quantize_cols(
+            feats[..., :3], 65535, np.uint16)
+        (out["colors"], out["col_lo"], out["col_sc"]) = _quantize_cols(
+            feats[..., 3:], 255, np.uint8)
+    elif jnp.dtype(cfg.compute_dtype) == jnp.bfloat16:
         out["features"] = np.asarray(batch["features"]).astype(
             ml_dtypes.bfloat16)
     if cfg.num_classes <= 255:
@@ -157,6 +192,24 @@ def shrink_train_batch(batch, cfg: Config):
         out["pseudo"] = np.asarray(batch["pseudo"]).astype(np.uint8)
     out["activation"] = np.asarray(batch["activation"]).astype(np.uint8)
     return out
+
+
+def widen_train_batch(batch):
+    """Device-side inverse of shrink_train_batch's quantization: returns
+    (xyz f32, features f32) for full-width OR quantized batches (jit-safe —
+    branches on dict keys/dtypes, not values)."""
+    xyz = batch["xyz"]
+    if xyz.dtype == jnp.uint16:
+        xyz = batch["xyz_lo"] + xyz.astype(jnp.float32) * batch["xyz_sc"]
+    if "features" in batch:
+        feats = batch["features"]
+    else:
+        fx = (batch["feat_lo"]
+              + batch["feat_xyz"].astype(jnp.float32) * batch["feat_sc"])
+        col = (batch["col_lo"]
+               + batch["colors"].astype(jnp.float32) * batch["col_sc"])
+        feats = jnp.concatenate([fx, col], axis=-1)
+    return xyz, feats
 
 
 def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window",

@@ -64,6 +64,47 @@ def test_train_step_learns_color_rule(rng):
     assert float(m["accuracy"]) > 0.5
 
 
+def test_quantized_batch_roundtrip_and_step(rng):
+    """shrink_train_batch(quantize=True) dequantizes to within the u16/u8
+    grid on device, and a train_step on the quantized batch matches the
+    full-width step's loss/accuracy to quantization tolerance."""
+    import jax.numpy as jnp
+
+    from ssdr_al_tpu.train.trainer import shrink_train_batch, widen_train_batch
+
+    model = RandLANet(TINY)
+    weights = np.ones(3, np.float32)
+    batch = make_batch(rng)
+    narrow = shrink_train_batch(batch, TINY, quantize=True)
+    assert narrow["xyz"].dtype == np.uint16
+    assert narrow["colors"].dtype == np.uint8
+    assert "features" not in narrow
+    # per-point payload: u16 xyz (6) + u16 feat_xyz (6) + u8 colors (3)
+    # + 3×u8 labels/pseudo/activation — ≈12.25 B/pt vs 48 full-width
+    xyz, feats = widen_train_batch(
+        {k: jnp.asarray(v) for k, v in narrow.items()})
+    span = batch["xyz"].max((0, 1)) - batch["xyz"].min((0, 1))
+    np.testing.assert_allclose(
+        np.asarray(xyz), batch["xyz"], atol=float(span.max()) / 65535 + 1e-7)
+    np.testing.assert_allclose(
+        np.asarray(feats)[..., 3:], batch["features"][..., 3:],
+        atol=1.0 / 255 + 1e-7)
+
+    state = create_train_state(
+        model, TINY, jax.random.PRNGKey(0),
+        {"xyz": batch["xyz"], "features": batch["features"]},
+        steps_per_epoch=100,
+    )
+    step = make_train_step(model, TINY, weights, knn_engine="xla")
+    key = jax.random.PRNGKey(1)
+    _, m_full = step(state, batch, key)
+    _, m_q = step(state, narrow, key)
+    np.testing.assert_allclose(
+        float(m_q["loss"]), float(m_full["loss"]), rtol=2e-2)
+    np.testing.assert_allclose(
+        float(m_q["accuracy"]), float(m_full["accuracy"]), atol=0.05)
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     model = RandLANet(TINY)
     batch = make_batch(rng)
