@@ -188,16 +188,11 @@ class InferenceRunner:
         self._reduce_nofeat = _reduce_nofeat
 
     def _shrink_batch(self, batch):
-        """Upload features as bfloat16 when the model computes in bfloat16:
-        fc0 casts them on device anyway (models/randlanet.py fc0
-        `features.astype(dtype)`), so the narrower upload is bit-exact and
-        halves the largest host→device payload (the tunnel is ~35 MB/s)."""
-        if jnp.dtype(self.cfg.compute_dtype) == jnp.bfloat16:
-            import ml_dtypes
+        """Quantized inference upload — see trainer.shrink_eval_batch
+        (36 B/point full-width → 9 on bfloat16 configs)."""
+        from ssdr_al_tpu.train.trainer import shrink_eval_batch
 
-            batch = dict(batch)
-            batch["features"] = batch["features"].astype(ml_dtypes.bfloat16)
-        return batch
+        return shrink_eval_batch(batch, self.cfg)
 
     def run_many(self, clouds: List[Cloud]) -> Dict[str, CloudInference]:
         """Whole-dataset inference with chunk groups spanning CLOUD

@@ -105,12 +105,15 @@ class Evaluator:
             pending = []
             for _ in range(cfg.val_steps):
                 batch = pipe.get_batch(bs)
+                from ssdr_al_tpu.train.trainer import shrink_eval_batch
+
+                # quantized upload on bfloat16 configs (u16 xyz grid reused
+                # as the feature-xyz, u8 colors): 36 → 9 B/point
+                dev_batch = shrink_eval_batch(batch, cfg)
                 if self.mesh is not None:
                     from ssdr_al_tpu.parallel.mesh import shard_batch
 
-                    dev_batch = shard_batch(batch, self.mesh)
-                else:
-                    dev_batch = batch
+                    dev_batch = shard_batch(dev_batch, self.mesh)
                 res = eval_step(state, dev_batch)
                 # f16 transfer: probs are post-softmax ∈ [0,1] and the vote
                 # accumulators stay float32 on the host; halving the

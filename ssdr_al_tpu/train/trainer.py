@@ -194,6 +194,29 @@ def shrink_train_batch(batch, cfg: Config, *, quantize: bool = True):
     return out
 
 
+def shrink_eval_batch(batch, cfg: Config):
+    """Quantized inference upload (bfloat16 configs — the recommended TPU
+    config; float32 configs keep full-width batches so CPU oracles see
+    exact inputs): xyz → uint16 grid, colors → uint8. Inference features
+    carry the UNAUGMENTED xyz in their first three channels, so the u16
+    grid is uploaded once and reused (widen_train_batch fallback):
+    36 B/point full-width → 9. The u16 grid error (≤0.1 mm on a 10 m
+    block) is far below the bf16 cast the model applies to features."""
+    if jnp.dtype(cfg.compute_dtype) != jnp.bfloat16 or "features" not in batch:
+        return batch
+    batch = dict(batch)
+    feats = np.asarray(batch.pop("features"), np.float32)
+    xyz = np.asarray(batch["xyz"], np.float32)
+    batch["xyz"], batch["xyz_lo"], batch["xyz_sc"] = _quantize_cols(
+        xyz, 65535, np.uint16)
+    if not np.array_equal(feats[..., :3], xyz):
+        (batch["feat_xyz"], batch["feat_lo"], batch["feat_sc"]) = \
+            _quantize_cols(feats[..., :3], 65535, np.uint16)
+    (batch["colors"], batch["col_lo"], batch["col_sc"]) = _quantize_cols(
+        feats[..., 3:], 255, np.uint8)
+    return batch
+
+
 def widen_train_batch(batch):
     """Device-side inverse of shrink_train_batch's quantization: returns
     (xyz f32, features f32) for full-width OR quantized batches (jit-safe —
@@ -204,8 +227,13 @@ def widen_train_batch(batch):
     if "features" in batch:
         feats = batch["features"]
     else:
-        fx = (batch["feat_lo"]
-              + batch["feat_xyz"].astype(jnp.float32) * batch["feat_sc"])
+        if "feat_xyz" in batch:
+            fx = (batch["feat_lo"]
+                  + batch["feat_xyz"].astype(jnp.float32) * batch["feat_sc"])
+        else:
+            # inference batches: feature-xyz == pyramid xyz (no
+            # augmentation), so the shrink uploads the u16 grid once
+            fx = xyz
         col = (batch["col_lo"]
                + batch["colors"].astype(jnp.float32) * batch["col_sc"])
         feats = jnp.concatenate([fx, col], axis=-1)
@@ -227,18 +255,21 @@ def make_eval_step(model: RandLANet, cfg: Config, knn_engine: str = "window",
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        pyramid = build_pyramid(batch["xyz"], cfg, engine=knn_engine)
+        # widen quantized inference batches (InferenceRunner._shrink_batch)
+        # on device; no-op for full-width inputs
+        xyz, features = widen_train_batch(batch)
+        pyramid = build_pyramid(xyz, cfg, engine=knn_engine)
         sorted_mode = sorted_outputs and isinstance(pyramid, SortedPyramid)
         logits, penult = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["features"], pyramid, False, unsort=not sorted_mode,
+            features, pyramid, False, unsort=not sorted_mode,
         )
         probs = jax.nn.softmax(logits, axis=-1)
         if not sorted_outputs:
             return probs, penult
         # uint16 when row indices fit (N ≤ 65536): the tunnel moves
         # ~35 MB/s, so the order payload halves for free
-        b, n = batch["xyz"].shape[:2]
+        b, n = xyz.shape[:2]
         odt = jnp.uint16 if n <= 65536 else jnp.int32
         if sorted_mode:
             order = pyramid.order.astype(odt)

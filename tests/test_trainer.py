@@ -105,6 +105,42 @@ def test_quantized_batch_roundtrip_and_step(rng):
         float(m_q["accuracy"]), float(m_full["accuracy"]), atol=0.05)
 
 
+def test_shrink_eval_batch_quantized_inference(rng):
+    """shrink_eval_batch on a bfloat16 config: features vanish (the u16 xyz
+    grid doubles as feature-xyz), and eval_step on the quantized batch
+    matches the full-width batch's probs to quantization tolerance.
+    float32 configs pass through untouched (CPU oracles see exact inputs)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from ssdr_al_tpu.train.trainer import make_eval_step, shrink_eval_batch
+
+    batch = make_batch(rng)
+    eval_in = {"xyz": batch["xyz"],
+               "features": np.concatenate(
+                   [batch["xyz"], batch["features"][..., 3:]], -1)}
+    assert shrink_eval_batch(eval_in, TINY) is eval_in  # f32: no-op
+
+    bf16 = dc.replace(TINY, compute_dtype="bfloat16")
+    narrow = shrink_eval_batch(eval_in, bf16)
+    assert narrow["xyz"].dtype == np.uint16
+    assert "features" not in narrow and "feat_xyz" not in narrow
+
+    model = RandLANet(bf16)
+    state = create_train_state(
+        model, bf16, jax.random.PRNGKey(0),
+        {"xyz": eval_in["xyz"], "features": eval_in["features"]},
+        steps_per_epoch=10,
+    )
+    step = make_eval_step(model, bf16, knn_engine="xla")
+    probs_full, _ = step(state, eval_in)
+    probs_q, _ = step(state, {k: jnp.asarray(v) for k, v in narrow.items()})
+    agree = (np.asarray(probs_full).argmax(-1)
+             == np.asarray(probs_q).argmax(-1)).mean()
+    assert agree > 0.99, agree
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     model = RandLANet(TINY)
     batch = make_batch(rng)
