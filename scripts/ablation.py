@@ -163,13 +163,17 @@ def main():
     p.add_argument("--configs", default="random,sb_mean,ssdr_full",
                    help="comma-separated subset of: random, sb_mean, "
                         "ssdr_full, ssdr_dom ('' = all)")
+    p.add_argument("--train_steps", type=int, default=30,
+                   help="steps per epoch (reference: 500, helper_tool.py:52)")
+    p.add_argument("--max_epoch", type=int, default=3,
+                   help="epochs per AL round (reference: 30)")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
         ConfigS3DIS,
         num_points=4096, num_classes=NUM_SYNTH_CLASSES_HARD,
-        batch_size=4, val_batch_size=4, train_steps=30, val_steps=10,
-        max_epoch=3, eval_start_frac=0.5,
+        batch_size=4, val_batch_size=4, train_steps=args.train_steps,
+        val_steps=10, max_epoch=args.max_epoch, eval_start_frac=0.5,
     )
     work = args.workdir or tempfile.mkdtemp(prefix="ablation_")
     os.makedirs(work, exist_ok=True)
