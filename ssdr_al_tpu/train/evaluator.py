@@ -23,6 +23,7 @@ from ssdr_al_tpu.config import Config
 from ssdr_al_tpu.data.cloud import Cloud
 from ssdr_al_tpu.data.dataset import PossibilityEvalPipeline
 from ssdr_al_tpu.train.metrics import confusion_matrix, iou_from_confusion
+from ssdr_al_tpu.train.trainer import shrink_eval_batch
 
 
 @jax.jit
@@ -105,8 +106,6 @@ class Evaluator:
             pending = []
             for _ in range(cfg.val_steps):
                 batch = pipe.get_batch(bs)
-                from ssdr_al_tpu.train.trainer import shrink_eval_batch
-
                 # quantized upload on bfloat16 configs (u16 xyz grid reused
                 # as the feature-xyz, u8 colors): 36 → 9 B/point
                 dev_batch = shrink_eval_batch(batch, cfg)

@@ -174,6 +174,9 @@ def shrink_train_batch(batch, cfg: Config, *, quantize: bool = True):
     import ml_dtypes
 
     out = dict(batch)
+    # the quantized split assumes [aug-xyz | colors] features (all shipped
+    # dataset configs); fall back to the bf16 cast for exotic widths
+    quantize = quantize and batch["features"].shape[-1] > 3
     if quantize:
         xyz = np.asarray(batch["xyz"], np.float32)
         out["xyz"], out["xyz_lo"], out["xyz_sc"] = _quantize_cols(
@@ -202,7 +205,8 @@ def shrink_eval_batch(batch, cfg: Config):
     grid is uploaded once and reused (widen_train_batch fallback):
     36 B/point full-width → 9. The u16 grid error (≤0.1 mm on a 10 m
     block) is far below the bf16 cast the model applies to features."""
-    if jnp.dtype(cfg.compute_dtype) != jnp.bfloat16 or "features" not in batch:
+    if (jnp.dtype(cfg.compute_dtype) != jnp.bfloat16
+            or "features" not in batch or batch["features"].shape[-1] <= 3):
         return batch
     batch = dict(batch)
     feats = np.asarray(batch.pop("features"), np.float32)
