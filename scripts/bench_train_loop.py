@@ -10,7 +10,7 @@ production pattern (TrainingPipeline prefetch → train_step per fresh batch):
   narrow  — shrink_train_batch(quantize=False): bf16 features, u8
             labels/pseudo/activation (27 B/point)
   quant   — shrink_train_batch(quantize=True): u16 xyz/feat-xyz grids,
-            u8 colors/labels/pseudo/activation (12.25 B/point)
+            u8 colors/labels/pseudo/activation (18 B/point)
   resident— same device batch every step (bench.py's compute floor)
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_train_loop.py
@@ -96,15 +96,13 @@ def main():
                 s2, m = train_step(s2, bd, key)
             float(m["loss"])
             return (time.perf_counter() - t0) / args.steps
-        devput = mode.endswith("+devput")
-        gen = pipe.batches(args.steps, args.batch, prefetch=2,
-                           transform=(
-                               (lambda b: jax.device_put(shrink(mode, b)))
-                               if devput else None))
+        # (a shrink+device_put on the prefetch worker thread was measured
+        # SLOWER — transfers serialize with device compute on this platform
+        # and the extra thread contends; see the commit note)
+        gen = pipe.batches(args.steps, args.batch, prefetch=2)
         t0 = time.perf_counter()
         for b in gen:
-            if not devput:
-                b = shrink(mode, b)
+            b = shrink(mode, b)
             s2, m = train_step(s2, b, key)
         float(m["loss"])
         return (time.perf_counter() - t0) / args.steps

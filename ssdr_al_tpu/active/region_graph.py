@@ -148,7 +148,10 @@ class SuperpointBlockCache:
 
     Memory is bounded by SSDR_CHAMFER_CACHE_MB (default 384): clouds that
     would push a slab past the budget are left uncached and stream through
-    the old path. Values are IDENTICAL to the streaming path: the padded
+    the old path. (Headroom note: each gathered dispatch additionally
+    materializes its [8, S, P, 3] block — the same transient the streaming
+    path shipped — and this platform's TPU worker dies on >500 MB single
+    live buffers, so don't raise the budget near that line.) Values are IDENTICAL to the streaming path: the padded
     width only affects a region's points when the subsample cap binds
     (L > width), and in that case both paths use exactly `max_points_per_sp`
     — wider all-superpoint padding beyond a round's largest selected region
@@ -160,12 +163,19 @@ class SuperpointBlockCache:
         budget_mb = float(os.environ.get("SSDR_CHAMFER_CACHE_MB", "384"))
         self._budget = int(budget_mb * 1e6)
         self._bytes = 0
-        # staged host arrays per p_rung, pending device upload
+        # staged host arrays per p_rung, pending device upload; _host keeps
+        # the already-uploaded parts so a late finalize() re-concatenates
+        # from host memory instead of reading the slab back over the
+        # ~25-35 MB/s link (callers should still pre-stage every cloud up
+        # front: a grown slab is a NEW operand shape for the gathered
+        # chamfer program → one fresh XLA compile)
         self._staged: Dict[int, list] = {}
+        self._host: Dict[int, list] = {}
         self._device: Dict[int, tuple] = {}     # p_rung -> (pts, msk) on device
         self._info: Dict[str, tuple] = {}       # name -> (p_rung, base, S)
         self._centroids: Dict[str, np.ndarray] = {}
         self._bases: Dict[int, int] = {}        # next base per p_rung
+        self._rejected: set = set()
 
     def has(self, name: str) -> bool:
         return name in self._info
@@ -176,12 +186,18 @@ class SuperpointBlockCache:
         Returns False if the memory budget rejects it."""
         if name in self._info:
             return True
+        if name in self._rejected:
+            return False
         empty = np.fromiter((len(c) == 0 for c in components), bool,
                             count=len(components))
         if empty.any():
             # reduceat/linspace indexing need ≥1 id per region; substitute a
-            # dummy id and blank the row below (its mask row is all-False,
-            # so chamfer treats it as an empty region: cd row/col = 0)
+            # dummy id and blank the row below. An all-False mask makes
+            # chamfer_pairwise return ~sqrt(_BIG)≈1e15 against non-empty
+            # regions (the empty side has no points to take a min over), so
+            # an empty superpoint becomes an ISOLATED graph node
+            # (exp(−(ED+CD)) = 0) — the sane outcome; real partitions never
+            # produce empty components
             components = [c if len(c) else np.zeros(1, np.int64)
                           for c in components]
         centroids, pts, msk = pad_regions_vectorized(
@@ -195,6 +211,7 @@ class SuperpointBlockCache:
         s = pts.shape[0]
         nbytes = s * p_rung * (3 * 4 + 1)
         if self._bytes + nbytes > self._budget:
+            self._rejected.add(name)
             return False
         if pts.shape[1] < p_rung:
             pad = p_rung - pts.shape[1]
@@ -209,21 +226,19 @@ class SuperpointBlockCache:
         return True
 
     def finalize(self):
-        """Upload staged clouds. Re-concatenates a rung's slab when new
-        clouds were staged since the last upload (normally only the first
-        selection round stages anything)."""
+        """Upload staged clouds. Re-concatenates a rung's slab from the
+        retained HOST parts when new clouds were staged since the last
+        upload (normally only the first selection round stages anything —
+        TSampler pre-stages every cloud)."""
         for p_rung, staged in self._staged.items():
-            old = self._device.get(p_rung)
-            parts = ([np.asarray(old[0])[:-1], np.asarray(old[1])[:-1]]
-                     if old is not None else None)
+            parts = self._host.setdefault(p_rung, [])
+            parts.extend(staged)
             pts_new = np.concatenate(
-                ([parts[0]] if parts else [])
-                + [p for p, _ in staged]
+                [p for p, _ in parts]
                 + [np.zeros((1, p_rung, 3), np.float32)]
             )
             msk_new = np.concatenate(
-                ([parts[1]] if parts else [])
-                + [m for _, m in staged]
+                [m for _, m in parts]
                 + [np.zeros((1, p_rung), bool)]
             )
             self._device[p_rung] = (jnp.asarray(pts_new), jnp.asarray(msk_new))

@@ -806,6 +806,16 @@ class TSampler:
 
             self._block_cache = SuperpointBlockCache(
                 max_points_per_sp=a.chamfer_cap or None)
+            # pre-stage EVERY training cloud, not just this round's
+            # candidates: a cloud staged in a later round would grow the
+            # slab — a new operand shape for the gathered chamfer program
+            # (one fresh XLA compile) plus a full slab re-upload
+            for c in self.clouds:
+                if c.name in regions_by_cloud:
+                    continue
+                self._block_cache.ensure(
+                    c.name, c.xyz,
+                    self.state.load_superpoints(c.name).components)
         for n in regions_by_cloud:
             self._block_cache.ensure(n, cloud_xyz[n], components[n])
         self._block_cache.finalize()

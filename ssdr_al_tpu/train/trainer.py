@@ -153,14 +153,14 @@ def _quantize_cols(x: np.ndarray, qmax: int, dtype) -> tuple:
     return q.astype(dtype), tile(lo), tile(sc)
 
 
-def shrink_train_batch(batch, cfg: Config, *, quantize: bool = True):
+def shrink_train_batch(batch, cfg: Config, *, quantize=None):
     """Narrow the per-step host→device payload. The tunnel moves ~25-35 MB/s
     each way (measured): a fresh B=6×40960 float32 batch is ~11.8 MB
     (≈340 ms) — MORE than the ~165 ms device step, so a full-width host
     pipeline transfer-starves training.
 
     labels/pseudo→uint8 (num_classes ≤ 255), activation→uint8 {0,1}, and
-    with quantize=True (default) the coordinate payloads go affine-quantized
+    when quantizing, the coordinate payloads go affine-quantized
     (train_step dequantizes on device):
       xyz              → uint16 grid (≤0.08 mm error on a 10 m block — far
                          below the 0.04 m subsample grid and the morton
@@ -169,11 +169,16 @@ def shrink_train_batch(batch, cfg: Config, *, quantize: bool = True):
                          cast the model applies anyway)
       features[:, 3:]  → uint8 (colors; prepared clouds store u8/255, so
                          the round-trip is exact up to one f32 rounding)
-    48 → 12.25 B/point. quantize=False keeps the round-2 behavior
-    (bf16 features when the model computes in bfloat16): 27 B/point."""
+    48 → 18 B/point (u16 xyz 6 + u16 feat-xyz 6 + u8 colors 3 + 3×u8
+    labels/pseudo/activation). quantize=None (default) auto-enables on
+    bfloat16 configs only — float32 configs keep exact inputs for CPU
+    oracles; quantize=True/False forces. Unquantized bfloat16 configs get
+    the round-2 behavior (bf16 feature cast): 27 B/point."""
     import ml_dtypes
 
     out = dict(batch)
+    if quantize is None:
+        quantize = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
     # the quantized split assumes [aug-xyz | colors] features (all shipped
     # dataset configs); fall back to the bf16 cast for exotic widths
     quantize = quantize and batch["features"].shape[-1] > 3
@@ -205,8 +210,16 @@ def shrink_eval_batch(batch, cfg: Config):
     grid is uploaded once and reused (widen_train_batch fallback):
     36 B/point full-width → 9. The u16 grid error (≤0.1 mm on a 10 m
     block) is far below the bf16 cast the model applies to features."""
-    if (jnp.dtype(cfg.compute_dtype) != jnp.bfloat16
-            or "features" not in batch or batch["features"].shape[-1] <= 3):
+    if jnp.dtype(cfg.compute_dtype) != jnp.bfloat16 or "features" not in batch:
+        return batch
+    if batch["features"].shape[-1] <= 3:
+        # colorless layouts can't take the quantized split — keep the bf16
+        # feature cast (bit-exact: fc0 casts on device anyway)
+        import ml_dtypes
+
+        batch = dict(batch)
+        batch["features"] = np.asarray(batch["features"]).astype(
+            ml_dtypes.bfloat16)
         return batch
     batch = dict(batch)
     feats = np.asarray(batch.pop("features"), np.float32)

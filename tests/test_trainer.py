@@ -80,7 +80,7 @@ def test_quantized_batch_roundtrip_and_step(rng):
     assert narrow["colors"].dtype == np.uint8
     assert "features" not in narrow
     # per-point payload: u16 xyz (6) + u16 feat_xyz (6) + u8 colors (3)
-    # + 3×u8 labels/pseudo/activation — ≈12.25 B/pt vs 48 full-width
+    # + 3×u8 labels/pseudo/activation — = 18 B/pt vs 48 full-width
     xyz, feats = widen_train_batch(
         {k: jnp.asarray(v) for k, v in narrow.items()})
     span = batch["xyz"].max((0, 1)) - batch["xyz"].min((0, 1))
