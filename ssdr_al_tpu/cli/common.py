@@ -56,7 +56,7 @@ def add_common_args(p: argparse.ArgumentParser):
                         "agreement vs float32 on 40960-pt blocks)")
     p.add_argument("--search_window", type=int, default=0,
                    help="morton search window for big pyramid layers "
-                        "(0 = config default 4096; multiple of 512 in "
+                        "(0 = config default 2048; multiple of 512 in "
                         "[1024, 4096]; speed/recall knob — see "
                         "Config.search_window)")
     p.add_argument("--num_devices", type=int, default=1,
