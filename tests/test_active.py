@@ -724,6 +724,41 @@ class TestRegionGraphBuckets:
         np.testing.assert_allclose(got.ed_cd, base.ed_cd, rtol=1e-6,
                                    atol=1e-6)
 
+    def test_block_cache_late_stage_and_idempotent_finalize(self, rng):
+        """finalize() without new stages never re-uploads; staging another
+        cloud later re-concatenates from retained HOST parts (no device
+        readback) and the grown slab still matches a fresh cache built with
+        both clouds at once."""
+        from ssdr_al_tpu.active.region_graph import SuperpointBlockCache
+
+        regions, cloud_xyz, components = self._make_workload(
+            rng, [(5, 10), (4, 30)])
+        names = sorted(regions)
+
+        cache = SuperpointBlockCache(max_points_per_sp=64)
+        assert cache.ensure(names[0], cloud_xyz[names[0]],
+                            components[names[0]])
+        cache.finalize()
+        p0 = cache.p_rung(names[0])
+        slab0 = cache._device[p0][0]
+        cache.finalize()
+        assert cache._device[p0][0] is slab0  # idempotent: no re-upload
+
+        assert cache.ensure(names[1], cloud_xyz[names[1]],
+                            components[names[1]])
+        cache.finalize()
+
+        fresh = SuperpointBlockCache(max_points_per_sp=64)
+        for n in names:
+            fresh.ensure(n, cloud_xyz[n], components[n])
+        fresh.finalize()
+        for n in names:
+            p = cache.p_rung(n)
+            ids = np.arange(len(components[n]))
+            np.testing.assert_array_equal(
+                np.asarray(cache._device[p][0])[cache.rows(n, ids)],
+                np.asarray(fresh._device[p][0])[fresh.rows(n, ids)])
+
     def test_block_cache_budget_rejects_and_streams(self, rng, monkeypatch):
         """A cache with a ~zero budget rejects every cloud; the graph build
         falls back to streaming and still produces identical results."""
