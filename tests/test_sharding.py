@@ -75,6 +75,49 @@ def test_data_parallel_train_step_matches_single_device(rng):
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_data_parallel_quantized_step_matches_single_device(rng):
+    """shrink_train_batch's quantized keys (u16 grids + [B,1,3] lo/sc)
+    shard over the mesh like any other leaf: dp loss == single-device loss
+    on the SAME quantized batch."""
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+        shrink_train_batch,
+    )
+
+    model = RandLANet(TINY)
+    weights = np.ones(TINY.num_classes, np.float32)
+    b, n = 8, TINY.num_points
+    batch = {
+        "xyz": (rng.rand(b, n, 3) * 10).astype(np.float32),
+        "features": rng.rand(b, n, 6).astype(np.float32),
+        "labels": rng.randint(0, TINY.num_classes, (b, n)).astype(np.int32),
+        "activation": np.ones((b, n), np.float32),
+        "pseudo": rng.randint(0, TINY.num_classes, (b, n)).astype(np.int32),
+    }
+    state = create_train_state(
+        model, TINY, jax.random.PRNGKey(0),
+        {"xyz": batch["xyz"], "features": batch["features"]},
+        steps_per_epoch=10,
+    )
+    train_step = make_train_step(model, TINY, weights, knn_engine="xla")
+    rng_key = jax.random.PRNGKey(1)
+    narrow = shrink_train_batch(batch, TINY, quantize=True)
+    assert narrow["xyz"].dtype == np.uint16
+
+    _, metrics_single = train_step(state, narrow, rng_key)
+
+    mesh = make_mesh()
+    state_repl = jax.device_put(state, replicated_sharding(mesh))
+    batch_sharded = shard_batch(narrow, mesh)
+    _, metrics_dp = train_step(state_repl, batch_sharded, rng_key)
+
+    np.testing.assert_allclose(
+        float(metrics_single["loss"]), float(metrics_dp["loss"]), rtol=1e-4
+    )
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
