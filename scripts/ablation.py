@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
-               seed_percent, rounds, clicks, log, t=0):
+               seed_percent, rounds, clicks, log, t=0, start_round=2):
     import jax
 
     from ssdr_al_tpu.active.samplers import (
@@ -93,7 +93,7 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
     )
 
     curve = []
-    for r in range(2, rounds + 1):
+    for r in range(start_round, rounds + 1):
         trainer.restore_model(r - 1)
         stats = RoundStats()
         t0 = time.time()
@@ -167,6 +167,10 @@ def main():
                    help="steps per epoch (reference: 500, helper_tool.py:52)")
     p.add_argument("--max_epoch", type=int, default=3,
                    help="epochs per AL round (reference: 30)")
+    p.add_argument("--start_round", type=int, default=2,
+                   help="resume a crashed run: first AL round to execute "
+                        "(requires --workdir with rounds < start_round on "
+                        "disk; the AL state protocol is round-resumable)")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
@@ -228,7 +232,15 @@ def main():
             curves[tag] = run_config(
                 tag, kind, work, train, val, cfg, total_sp,
                 args.seed_percent, args.rounds, args.clicks, log, t=args.t,
+                start_round=args.start_round,
             )
+
+        if args.start_round > 2:
+            # resumed run: curves are partial — the caller assembles the
+            # summary from the concatenated JSONL instead
+            final = {t: curves[t][-1]["miou"] for t, _ in configs}
+            log({"event": "done", "final_miou": final, "resumed": True})
+            return
 
         # markdown summary
         lines = [
