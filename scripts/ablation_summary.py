@@ -74,13 +74,14 @@ def main():
         row = [f"{mean(by[(s, rd)]):.4f}" if (s, rd) in by else "—"
                for s in samplers]
         lines.append(f"| {rd} | " + " | ".join(row) + " |")
-    tail = {
-        s: mean([mean(by[(s, rd)]) for rd in rounds[-3:] if (s, rd) in by])
-        for s in samplers
-    }
+    # a sampler may have no records in the final window (partial/crashed
+    # trial tail): report it as absent instead of dividing by zero
+    tail = {}
+    for s in samplers:
+        vals = [mean(by[(s, rd)]) for rd in rounds[-3:] if (s, rd) in by]
+        tail[s] = round(mean(vals), 4) if vals else None
     lines += ["",
-              "Final-3-round mean mIoU: "
-              + json.dumps({s: round(v, 4) for s, v in tail.items()}), ""]
+              "Final-3-round mean mIoU: " + json.dumps(tail), ""]
     # pseudo-label quality, when the trials recorded it
     pq = collections.defaultdict(list)   # sampler -> [(acc, cov)]
     for path in args.inputs:
