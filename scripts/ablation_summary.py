@@ -43,15 +43,15 @@ def main():
     p.add_argument("--header", default="")
     args = p.parse_args()
 
+    records = [r for path in args.inputs for r in load(path)]
     by = collections.defaultdict(list)    # (sampler, round) -> [miou]
     samplers, rounds = [], set()
-    for path in args.inputs:
-        for r in load(path):
-            key = (r["sampler"], r["round"])
-            by[key].append(r["miou"])
-            if r["sampler"] not in samplers:
-                samplers.append(r["sampler"])
-            rounds.add(r["round"])
+    for r in records:
+        key = (r["sampler"], r["round"])
+        by[key].append(r["miou"])
+        if r["sampler"] not in samplers:
+            samplers.append(r["sampler"])
+        rounds.add(r["round"])
     rounds = sorted(rounds)
     if not by:
         raise SystemExit(
@@ -66,14 +66,24 @@ def main():
     lines = ["# Sampler ablation (hard synthetic scenes)", ""]
     if args.header:
         lines += [args.header, ""]
-    lines += [f"mIoU averaged over **{trials} trials** "
-              f"(seeds vary sampler + training-pipeline RNG).", ""]
+    unit = "trial" if trials == 1 else "trials"
+    lines += [f"mIoU averaged over **{trials} {unit}** "
+              f"(seeds vary sampler + training-pipeline RNG). Cells with "
+              f"fewer seeds than the header (partial trials) carry their "
+              f"own count as '(n)'.", ""]
     lines.append("| round | " + " | ".join(samplers) + " |")
     lines.append("|---|" + "---|" * len(samplers))
+
+    def cell(s, rd):
+        if (s, rd) not in by:
+            return "—"
+        vals = by[(s, rd)]
+        v = f"{mean(vals):.4f}"
+        return v if len(vals) == trials else f"{v} ({len(vals)})"
+
     for rd in rounds:
-        row = [f"{mean(by[(s, rd)]):.4f}" if (s, rd) in by else "—"
-               for s in samplers]
-        lines.append(f"| {rd} | " + " | ".join(row) + " |")
+        lines.append(f"| {rd} | "
+                     + " | ".join(cell(s, rd) for s in samplers) + " |")
     # a sampler may have no records in the final window (partial/crashed
     # trial tail): report it as absent instead of dividing by zero
     tail = {}
@@ -82,12 +92,12 @@ def main():
         tail[s] = round(mean(vals), 4) if vals else None
     lines += ["",
               "Final-3-round mean mIoU: " + json.dumps(tail), ""]
-    # pseudo-label quality, when the trials recorded it
+    # pseudo-label quality, when the trials recorded it (reuses the
+    # records already parsed above — no second file pass)
     pq = collections.defaultdict(list)   # sampler -> [(acc, cov)]
-    for path in args.inputs:
-        for r in load(path):
-            if "pseudo_acc" in r:
-                pq[r["sampler"]].append((r["pseudo_acc"], r["coverage"]))
+    for r in records:
+        if "pseudo_acc" in r:
+            pq[r["sampler"]].append((r["pseudo_acc"], r["coverage"]))
     if pq:
         qual = {s: {"pseudo_acc": round(mean([a for a, _ in v]), 4),
                     "final_coverage": round(max(c for _, c in v), 4)}
