@@ -12,6 +12,8 @@ production pattern (TrainingPipeline prefetch → train_step per fresh batch):
   quant   — shrink_train_batch(quantize=True): u16 xyz/feat-xyz grids,
             u8 colors/labels/pseudo/activation (18 B/point)
   resident— same device batch every step (bench.py's compute floor)
+  pool    — DeviceTrainPool: clouds resident on device, blocks extracted
+            on device per step (host uploads ~100 B of ids/picks)
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_train_loop.py
        [--batch 6] [--steps 10] [--rooms 4]
@@ -83,8 +85,25 @@ def main():
             return shrink_train_batch(b, cfg, quantize=True)
         return b
 
+    from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+    from ssdr_al_tpu.train.trainer import make_pooled_train_step
+
+    pool = DeviceTrainPool(clouds, cfg, pseudo_gt=pseudo, seed=0)
+    pooled_step = make_pooled_train_step(model, cfg, class_weights("S3DIS"))
+
     def run(mode):
         nonlocal state
+        if mode == "pool":
+            ids, picks = pool.sample_indices(args.batch)
+            pa = pool.device_args()
+            s2, m = pooled_step(state, pa, ids, picks, key)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                ids, picks = pool.sample_indices(args.batch)
+                s2, m = pooled_step(s2, pa, ids, picks, key)
+            float(m["loss"])
+            return (time.perf_counter() - t0) / args.steps
         # compile + warm
         b = shrink(mode, pipe.sample_batch(args.batch))
         s2, m = train_step(state, b, key)
@@ -107,8 +126,8 @@ def main():
         float(m["loss"])
         return (time.perf_counter() - t0) / args.steps
 
-    for mode in ("resident", "wide", "narrow", "quant",
-                 "wide", "narrow", "quant", "quant"):
+    for mode in ("resident", "quant", "pool",
+                 "quant", "pool", "pool", "pool"):
         dt = run(mode)
         print(f"{mode:9s}: {dt * 1e3:7.1f} ms/step  "
               f"{pts / dt / 1e6:6.3f} M pts/s", flush=True)

@@ -85,6 +85,46 @@ def reset_optimizer(state: TrainState, cfg: Config, steps_per_epoch: int) -> Tra
     )
 
 
+def _step_body(model, cfg, weights, table, knn_engine, state, xyz, features,
+               labels, activation, pseudo, dropout_rng):
+    """Shared train-step body (pyramid → loss → grads → update), used by
+    both the host-batch step and the device-pool step."""
+    pyramid = build_pyramid(xyz, cfg, engine=knn_engine)
+    # sorted fast path: the CE loss averages over points, so instead of
+    # unsorting 13+32 channels of logits/penultimate (two [B,N]-row
+    # gathers + backward scatters, ~6 ms/step at B=6×40960) permute the
+    # three 1-column label/mask inputs into sorted order
+    sorted_mode = isinstance(pyramid, SortedPyramid)
+    if sorted_mode:
+        order = pyramid.order
+        pseudo = jnp.take_along_axis(pseudo, order, axis=1)
+        labels = jnp.take_along_axis(labels, order, axis=1)
+        activation = jnp.take_along_axis(activation, order, axis=1)
+
+    def loss_fn(params):
+        (logits, _), new_state = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            features, pyramid, True,
+            unsort=not sorted_mode,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss, acc = masked_weighted_ce(
+            logits, pseudo, activation, labels,
+            weights, cfg.ignored_label_inds, table,
+        )
+        # activation is the widened f32 copy (sum is permutation-invariant)
+        return loss, (acc, new_state["batch_stats"], activation.sum())
+
+    (loss, (acc, new_bs, act_sum)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_bs)
+    metrics = {"loss": loss, "accuracy": acc, "activation_sum": act_sum}
+    return state, metrics
+
+
 def make_train_step(model: RandLANet, cfg: Config,
                     weights: np.ndarray, knn_engine: str = "window"):
     table = (
@@ -97,46 +137,41 @@ def make_train_step(model: RandLANet, cfg: Config,
         # widen narrow-transfer batches (shrink_train_batch) on device;
         # no-ops for full-width inputs
         xyz, features = widen_train_batch(batch)
-        pyramid = build_pyramid(xyz, cfg, engine=knn_engine)
         dropout_rng = jax.random.fold_in(rng, state.step)
         pseudo = batch["pseudo"].astype(jnp.int32)
         labels = batch["labels"].astype(jnp.int32)
         activation = batch["activation"].astype(jnp.float32)
-        # sorted fast path: the CE loss averages over points, so instead of
-        # unsorting 13+32 channels of logits/penultimate (two [B,N]-row
-        # gathers + backward scatters, ~6 ms/step at B=6×40960) permute the
-        # three 1-column label/mask inputs into sorted order
-        sorted_mode = isinstance(pyramid, SortedPyramid)
-        if sorted_mode:
-            order = pyramid.order
-            pseudo = jnp.take_along_axis(pseudo, order, axis=1)
-            labels = jnp.take_along_axis(labels, order, axis=1)
-            activation = jnp.take_along_axis(activation, order, axis=1)
-
-        def loss_fn(params):
-            (logits, _), new_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                features, pyramid, True,
-                unsort=not sorted_mode,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
-            )
-            loss, acc = masked_weighted_ce(
-                logits, pseudo, activation, labels,
-                weights, cfg.ignored_label_inds, table,
-            )
-            # activation is the widened f32 copy (sum is permutation-invariant)
-            return loss, (acc, new_state["batch_stats"], activation.sum())
-
-        (loss, (acc, new_bs, act_sum)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_bs)
-        metrics = {"loss": loss, "accuracy": acc, "activation_sum": act_sum}
-        return state, metrics
+        return _step_body(model, cfg, weights, table, knn_engine, state,
+                          xyz, features, labels, activation, pseudo,
+                          dropout_rng)
 
     return train_step
+
+
+def make_pooled_train_step(model: RandLANet, cfg: Config,
+                           weights: np.ndarray, knn_engine: str = "window"):
+    """Train step over a DeviceTrainPool: block extraction (distance sort +
+    one payload row gather, train/device_pool.py) runs INSIDE the jit, so a
+    fresh-blocks step transfers only [B] cloud ids + [B, 3] pick points —
+    the host pipeline's 18 B/point upload (which serializes with device
+    compute on this platform) disappears from the loop."""
+    table = (
+        label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
+        if cfg.ignored_label_inds else None
+    )
+    from ssdr_al_tpu.train.device_pool import extract_blocks
+
+    @jax.jit
+    def pooled_step(state: TrainState, pool_args, cloud_ids, picks, rng):
+        key = jax.random.fold_in(rng, state.step)
+        ext_key, dropout_rng = jax.random.split(key)
+        xyz, features, labels, activation, pseudo = extract_blocks(
+            *pool_args, cloud_ids, picks, ext_key, cfg.num_points)
+        return _step_body(model, cfg, weights, table, knn_engine, state,
+                          xyz, features, labels, activation, pseudo,
+                          dropout_rng)
+
+    return pooled_step
 
 
 def _quantize_cols(x: np.ndarray, qmax: int, dtype) -> tuple:
@@ -337,6 +372,8 @@ class Trainer:
         self.weights = get_class_weights(dataset_name)
         self.steps_per_epoch = steps_per_epoch or cfg.train_steps
         self.train_step = make_train_step(self.model, cfg, self.weights, knn_engine)
+        self._pooled_step = None  # built lazily by train_round(device_pool=)
+        self._knn_engine = knn_engine
         # sorted outputs: on TPU the eval forward skips the two [B,N]-row
         # head unsort gathers; InferenceRunner/Evaluator permute host index
         # maps by the returned order instead
@@ -370,19 +407,30 @@ class Trainer:
     # ------------------------------------------------------------ train ---
     def train_round(self, round_num: int, batch_iter_fn,
                     evaluate_fn=None, *, max_epoch: Optional[int] = None,
-                    snapshot_subdir: Optional[str] = None):
+                    snapshot_subdir: Optional[str] = None,
+                    device_pool=None, batch_size: Optional[int] = None):
         """One AL round of training.
 
         batch_iter_fn(epoch) → iterable of batch dicts (host pipeline).
         evaluate_fn(eval_step, state) → (miou, oa); called after
         cfg.eval_start_frac of epochs, best snapshot kept (RandLANet.py:262-271).
-        """
+
+        device_pool: an available DeviceTrainPool — blocks are then sampled
+        ON DEVICE (steps_per_epoch fresh batches of `batch_size` per epoch;
+        batch_iter_fn is ignored). Callers must have update_pseudo_gt()'d
+        the pool for this round. Single-device path (the dp mesh keeps the
+        host pipeline)."""
         cfg = self.cfg
         max_epoch = max_epoch or cfg.max_epoch
         state = self.state
         state = reset_optimizer(state, cfg, self.steps_per_epoch)
         best_miou, best_oa = 0.0, 0.0
         self._rng, step_rng = jax.random.split(self._rng)
+
+        use_pool = device_pool is not None and self.mesh is None
+        if use_pool and self._pooled_step is None:
+            self._pooled_step = make_pooled_train_step(
+                self.model, cfg, self.weights, self._knn_engine)
 
         if self.mesh is not None:
             # data parallelism: replicate params, shard the batch axis —
@@ -394,7 +442,19 @@ class Trainer:
         for epoch in range(max_epoch):
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
-            for batch in batch_iter_fn(epoch):
+            if use_pool:
+                bsz = batch_size or cfg.batch_size
+                args = device_pool.device_args()
+                for _ in range(self.steps_per_epoch):
+                    ids, picks = device_pool.sample_indices(bsz)
+                    state, metrics = self._pooled_step(
+                        state, args, ids, picks, step_rng)
+                    losses.append(metrics["loss"])
+                    accs.append(metrics["accuracy"])
+                batch_iter = ()
+            else:
+                batch_iter = batch_iter_fn(epoch)
+            for batch in batch_iter:
                 batch = shrink_train_batch(batch, cfg)
                 if self.mesh is not None:
                     from ssdr_al_tpu.parallel.mesh import shard_batch
