@@ -346,7 +346,9 @@ class TestVectorizedScoring:
         for r, (name, sp_idx, dom_ids) in zip(refs, exp_refs):
             assert (r.cloud_name, r.sp_idx) == (name, sp_idx)
             np.testing.assert_array_equal(r.dominant_point_ids, dom_ids)
-        assert labeled == exp_labeled
+        assert set(labeled) == set(exp_labeled)
+        for name in labeled:  # values are flat arrays now (RegionTable era)
+            np.testing.assert_array_equal(labeled[name], exp_labeled[name])
         np.testing.assert_array_equal(
             sorted_inds, np.argsort(-np.asarray(exp_unc))
         )
