@@ -201,8 +201,13 @@ class SuperpointBlockCache:
     is masked, and masked columns don't change chamfer
     (tests/test_active.py::TestRegionGraphBuckets)."""
 
-    def __init__(self, max_points_per_sp: Optional[int] = 512):
+    def __init__(self, max_points_per_sp: Optional[int] = 512, mesh=None):
         self.cap = max_points_per_sp
+        # optional data mesh: chamfer dispatches shard their fixed 8-block
+        # chunk axis over it (the blocks are embarrassingly parallel);
+        # requires _G_CHUNK % mesh.size == 0, else single-device dispatch
+        self.mesh = (mesh if mesh is not None
+                     and _G_CHUNK % int(mesh.devices.size) == 0 else None)
         budget_mb = float(os.environ.get("SSDR_CHAMFER_CACHE_MB", "384"))
         self._budget = int(budget_mb * 1e6)
         self._bytes = 0
@@ -284,7 +289,17 @@ class SuperpointBlockCache:
                 [m for _, m in parts]
                 + [np.zeros((1, p_rung), bool)]
             )
-            self._device[p_rung] = (jnp.asarray(pts_new), jnp.asarray(msk_new))
+            if self.mesh is not None:
+                # replicate the slab over the mesh: each device gathers its
+                # own chamfer blocks locally (chamfer..._gathered_dp)
+                from ssdr_al_tpu.parallel.mesh import replicated_sharding
+
+                sh = replicated_sharding(self.mesh)
+                self._device[p_rung] = (jax.device_put(pts_new, sh),
+                                        jax.device_put(msk_new, sh))
+            else:
+                self._device[p_rung] = (jnp.asarray(pts_new),
+                                        jnp.asarray(msk_new))
         self._staged.clear()
 
     def p_rung(self, name: str) -> int:
@@ -308,6 +323,13 @@ class SuperpointBlockCache:
     def chamfer(self, p_rung: int, idx: np.ndarray):
         """Enqueue gathered chamfer for idx [C, S] slab rows → [C, S, S]."""
         pts, msk = self._device[p_rung]
+        if self.mesh is not None:
+            from ssdr_al_tpu.ops.chamfer import (
+                chamfer_pairwise_blocks_gathered_dp,
+            )
+
+            return chamfer_pairwise_blocks_gathered_dp(
+                pts, msk, jnp.asarray(idx), self.mesh, 8)
         return chamfer_pairwise_blocks_gathered(pts, msk, jnp.asarray(idx), 8)
 
 
@@ -318,6 +340,7 @@ def build_region_graph(
     *,
     max_points_per_sp: Optional[int] = 512,
     cache: Optional[SuperpointBlockCache] = None,
+    mesh=None,
 ) -> RegionGraph:
     """regions_by_cloud: {cloud: [(sp_idx, is_labeled, dominant_point_ids)]}.
 
@@ -424,9 +447,15 @@ def build_region_graph(
                 msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
             # chamfer_pairwise chunks its own target dim to a bounded live
             # block, so a fixed row_chunk is safe at any S/P
-            launched.append(([pc[0] for pc in chunk], chamfer_pairwise_blocks(
-                jnp.asarray(pts_g), jnp.asarray(msk_g), 8
-            )))
+            if mesh is not None and _G_CHUNK % int(mesh.devices.size) == 0:
+                from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks_dp
+
+                cd_dev = chamfer_pairwise_blocks_dp(
+                    jnp.asarray(pts_g), jnp.asarray(msk_g), mesh, 8)
+            else:
+                cd_dev = chamfer_pairwise_blocks(
+                    jnp.asarray(pts_g), jnp.asarray(msk_g), 8)
+            launched.append(([pc[0] for pc in chunk], cd_dev))
     LAST_TIMINGS["chamfer_enqueue_s"] = time.perf_counter() - t0
     LAST_TIMINGS["cached_clouds"] = float(len(per_cached))
     t0 = time.perf_counter()

@@ -145,10 +145,12 @@ class InferenceRunner:
         # device buffers are retained and region-feature means are computed
         # ON DEVICE later via region_feature_means() with an uploaded
         # row→slot map (4 B/point up, [R, 32] f32 down). Single-runner
-        # lifetime: buffers free when the runner is dropped. Not combined
-        # with a mesh (the flat segment-mean would consume cross-shard
-        # buffers; dp selection keeps the host path).
-        self.keep_penult = keep_penult_on_device and mesh is None
+        # lifetime: buffers free when the runner is dropped. Mesh-
+        # compatible: retained buffers keep their batch sharding and the
+        # flat segment-mean runs as per-shard partial sums + XLA's
+        # sharding-derived reduction (round-3 disabled this under dp;
+        # dp selection now keeps the transfer-diet path too).
+        self.keep_penult = keep_penult_on_device
         self._penult_groups: List[jax.Array] = []
         self._row_map: Dict[str, np.ndarray] = {}
         # default group size adapts to the chunk size under a ~330k-point
@@ -862,7 +864,7 @@ class TSampler:
             from ssdr_al_tpu.active.region_graph import SuperpointBlockCache
 
             self._block_cache = SuperpointBlockCache(
-                max_points_per_sp=a.chamfer_cap or None)
+                max_points_per_sp=a.chamfer_cap or None, mesh=self.mesh)
             # pre-stage EVERY training cloud, not just this round's
             # candidates: a cloud staged in a later round would grow the
             # slab — a new operand shape for the gathered chamfer program
@@ -879,7 +881,7 @@ class TSampler:
         graph = build_region_graph(
             regions_by_cloud, cloud_xyz, components,
             max_points_per_sp=a.chamfer_cap or None,
-            cache=self._block_cache,
+            cache=self._block_cache, mesh=self.mesh,
         )
         for k, v in _rg.LAST_TIMINGS.items():
             self.phase_times[f"div_graph_{k}"] = v

@@ -111,6 +111,66 @@ def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8):
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str):
+    """Cached jitted shard_map of the gathered chamfer: the block axis C is
+    sharded over the mesh (each device gathers + reduces its own blocks
+    from the replicated slab), the [C, S, S] result shards the same way.
+    Rebuilding jit(shard_map(...)) per call would recompile every round —
+    cache per (mesh, row_chunk)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def body(points_all, mask_all, idx):
+        return chamfer_pairwise_blocks_gathered(
+            points_all, mask_all, idx, row_chunk)
+
+    sm = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(axis_name)),
+                   out_specs=P(axis_name))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str):
+    """Cached jitted shard_map of the streaming blocked chamfer (block axis
+    sharded over the mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def body(points, mask):
+        return chamfer_pairwise_blocks(points, mask, row_chunk)
+
+    sm = shard_map(body, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name)),
+                   out_specs=P(axis_name))
+    return jax.jit(sm)
+
+
+def chamfer_pairwise_blocks_gathered_dp(points_all, mask_all, idx, mesh,
+                                        row_chunk=8, axis_name="data"):
+    """Data-parallel chamfer_pairwise_blocks_gathered: the C chamfer blocks
+    of one dispatch are embarrassingly parallel, so shard the block axis
+    over the data mesh (the distributed diversity phase — the reference has
+    no distributed anything, SURVEY §2.3; this is the TPU-native scaling
+    story for selection beyond the prediction pass). Requires
+    C % mesh-size == 0 (region_graph dispatches fixed chunks of 8)."""
+    return _gathered_dp_fn(mesh, row_chunk, axis_name)(
+        points_all, mask_all, idx)
+
+
+def chamfer_pairwise_blocks_dp(points, mask, mesh, row_chunk=8,
+                               axis_name="data"):
+    """Data-parallel chamfer_pairwise_blocks (streaming path)."""
+    return _blocks_dp_fn(mesh, row_chunk, axis_name)(points, mask)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def chamfer_pairwise_blocks(points, mask, row_chunk=8):
     """Batched chamfer_pairwise over per-cloud blocks in ONE device call.
