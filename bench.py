@@ -31,6 +31,11 @@ import numpy as np
 REF_WORKERS = 6  # the reference's DataLoader(num_workers=6), RandLANet.py:226
 
 
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
 def _sync(x):
     """block_until_ready is unreliable on the axon TPU platform — force
     completion by pulling a reduction back to the host."""
@@ -137,6 +142,69 @@ def measure_train_step(batch_size: int, iters: int = 8):
     _sync(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     return b * n / dt
+
+
+def measure_real_train_loop(batch_size: int, steps: int = 100, rooms: int = 4):
+    """REAL training-loop throughput: fresh blocks EVERY step, via the
+    device-resident training pool (train/device_pool.py — clouds live in
+    HBM, blocks are extracted inside the train-step jit; per-step host
+    upload ≈ 100 B of ids/picks). This is the production AL-round loop:
+    the reference's analogue is DataLoader(num_workers=6) feeding one GPU
+    (RandLANet.py:226). Returns points/s over `steps` fresh-batch steps."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ssdr_al_tpu.config import ConfigS3DIS, class_weights
+    from ssdr_al_tpu.data.cloud import Cloud
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+    from ssdr_al_tpu.train.trainer import (
+        create_train_state,
+        make_pooled_train_step,
+    )
+
+    cfg = ConfigS3DIS
+    model = RandLANet(cfg)
+    rng = np.random.RandomState(0)
+    n_cloud = 120_000
+    clouds = [
+        Cloud(name=f"c{i}",
+              xyz=(rng.rand(n_cloud, 3) * 10).astype(np.float32),
+              colors=rng.rand(n_cloud, 3).astype(np.float32),
+              labels=rng.randint(0, cfg.num_classes, n_cloud).astype(np.int32))
+        for i in range(rooms)
+    ]
+    pseudo = {
+        c.name: np.stack([
+            (rng.rand(n_cloud) > 0.5).astype(np.float32),
+            rng.randint(0, cfg.num_classes, n_cloud).astype(np.float32),
+        ])
+        for c in clouds
+    }
+    pool = DeviceTrainPool(clouds, cfg, pseudo_gt=pseudo, seed=0)
+    ids, picks = pool.sample_indices(batch_size)
+    from ssdr_al_tpu.train.device_pool import extract_blocks
+    import jax.numpy as jnp
+
+    xyz_s, feats_s, *_ = extract_blocks(
+        *pool.device_args(), jnp.asarray(ids), jnp.asarray(picks),
+        jax.random.PRNGKey(0), cfg.num_points)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": np.asarray(xyz_s), "features": np.asarray(feats_s)}, 500)
+    step = make_pooled_train_step(model, cfg, class_weights("S3DIS"))
+    key = jax.random.PRNGKey(1)
+    args = pool.device_args()
+    state, m = step(state, args, ids, picks, key)  # compile
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ids, picks = pool.sample_indices(batch_size)
+        state, m = step(state, args, ids, picks, key)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch_size * cfg.num_points / dt
 
 
 def measure_window_recall(n: int = 40960, k: int = 16):
@@ -321,13 +389,19 @@ def measure_selection_scale(num_rooms=200, points=4096,
     Partition setup uses the O(N) voxel partitioner (excluded from the
     measurement — the reference pays cut-pursuit offline too).
 
-    Measures one round per budget in `budgets` (warm round first), then —
-    for reference_budget (bounded: the reference numpy path at the full
-    10000-click budget takes ~13 min on this host, measured 816 s via
-    scripts/profile_selection.py) — the reference's own numpy selection on
-    the same clouds/registry.
+    Measures `rounds` consecutive rounds per budget after a warm round —
+    per-round wall-clock varies when a round crosses a shape-ladder rung
+    (the anchor cap grows (r−1)·1000/round, so occasional rounds pay a
+    ONE-TIME XLA compile for the next S rung, retained forever by the
+    persistent cache; this was BENCH_r03's unexplained 2k-slower-than-10k
+    'inversion': the compile landed on the single measured 2k round).
+    The median round is the steady-state number. Then — for
+    reference_budget (bounded: the reference numpy path at the full
+    10000-click budget takes ~17 min on this host; the committed artifact
+    results/ref_selection_10000clicks.json records that operating point) —
+    the reference's own numpy selection runs on the same clouds/registry.
 
-    Returns (results {budget: (wall_s, phases)}, sp_num, ref_phases)."""
+    Returns (results {budget: [(wall_s, phases), ...]}, sp_num, ref_phases)."""
     import shutil
     import tempfile
 
@@ -337,6 +411,7 @@ def measure_selection_scale(num_rooms=200, points=4096,
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     work = tempfile.mkdtemp(prefix="bench_sel200_")
+    rounds = 3
     try:
         train, state, total = _build_selection_workload(
             work, num_rooms, points, fast_partition=True, target_sp=target_sp
@@ -348,18 +423,115 @@ def measure_selection_scale(num_rooms=200, points=4096,
         for budget in budgets:
             # warm (compiles for this budget's FPS length), then measure
             sampler.sampling(eval_step, mstate, budget, r, RoundStats())
-            t0 = time.perf_counter()
-            sampler.sampling(eval_step, mstate, budget, r + 1, RoundStats())
-            dt = time.perf_counter() - t0
-            results[budget] = (dt, dict(sampler.phase_times))
+            r += 1
+            measured = []
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                sampler.sampling(eval_step, mstate, budget, r, RoundStats())
+                measured.append((time.perf_counter() - t0,
+                                 dict(sampler.phase_times)))
+                r += 1
+            results[budget] = measured
             if budget == reference_budget:
-                # same registry the measured round loaded (round r+1's copy)
+                # same registry the last measured round loaded
                 ref = measure_reference_selection(
-                    work, train, state, state.round_dir(r + 1),
-                    budget, round_num=r + 2,
+                    work, train, state, state.round_dir(r),
+                    budget, round_num=r + 1,
                 )
-            r += 2
         return results, total["sp_num"], ref
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def measure_selection_gcn(num_rooms=200, points=4096, budget=10000,
+                          target_sp=256):
+    """Trainable-GCN branch (the reference's headline 'SSDR' coreGCN
+    variant: 3-layer GCN + BCEAdjLoss fit for 20000 steps + kCenterGreedy,
+    gcn.py:193-263) at the reference's 200-cloud scale. The fit runs as ONE
+    lax.scan device program (active/gcn.py). Returns (wall_s, phases)."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    import jax
+
+    from ssdr_al_tpu.active.state import RoundStats
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    work = tempfile.mkdtemp(prefix="bench_selgcn_")
+    try:
+        train, state, total = _build_selection_workload(
+            work, num_rooms, points, fast_partition=True, target_sp=target_sp
+        )
+        sampler, eval_step, mstate = _make_selection_sampler(train, state, total)
+        sampler.args = dataclasses.replace(sampler.args, diversity="gcn")
+        # warm round compiles the GCN fit for this graph rung, then measure
+        sampler.sampling(eval_step, mstate, budget, 1, RoundStats())
+        t0 = time.perf_counter()
+        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
+        return time.perf_counter() - t0, dict(sampler.phase_times)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def measure_semantic3d_selection(num_clouds=8, points=1_000_000,
+                                 budget=3000, target_sp=2048):
+    """Semantic3D-scale selection: one end-to-end TSampler round over
+    multi-million-point clouds through SamplingPipeline's fixed-size
+    chunking — the TPU analogue of the reference's recursive octant
+    splitting (semantic3d_dataset_sampling.py:198-236) at its design
+    scale, with the reference's 3000-click budget
+    (ssdr_main_semantic3d.py:121). Returns (wall_s, phases, sp_num)."""
+    import shutil
+    import tempfile
+
+    import dataclasses
+
+    import jax
+
+    from ssdr_al_tpu.active.samplers import TSampler, TSamplerArgs
+    from ssdr_al_tpu.active.state import RoundStats
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    work = tempfile.mkdtemp(prefix="bench_sem3d_sel_")
+    try:
+        train, state, total = _build_selection_workload(
+            work, num_clouds, points, fast_partition=True,
+            target_sp=target_sp, seed_div=40,
+        )
+        from ssdr_al_tpu.config import ConfigSemantic3D
+        from ssdr_al_tpu.data.synthetic import NUM_SYNTH_CLASSES
+        from ssdr_al_tpu.models.randlanet import RandLANet
+        from ssdr_al_tpu.train.trainer import (
+            create_train_state,
+            make_eval_step,
+        )
+
+        # Semantic3D block geometry (65536-pt chunks) on synthetic labels
+        cfg = dataclasses.replace(
+            ConfigSemantic3D, num_classes=NUM_SYNTH_CLASSES,
+            ignored_label_inds=(), compute_dtype="bfloat16",
+        )
+        model = RandLANet(cfg)
+        rng = np.random.RandomState(0)
+        sample = {
+            "xyz": (rng.rand(1, cfg.num_points, 3) * 6).astype(np.float32),
+            "features": rng.rand(1, cfg.num_points, 6).astype(np.float32),
+        }
+        mstate = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                    sample, 500)
+        eval_step = make_eval_step(model, cfg, sorted_outputs=True)
+        sampler = TSampler(
+            state, train, cfg,
+            TSamplerArgs(diversity="gcn_fps", oracle_mode="NAIL",
+                         class_balance="clsbal"),
+            total["sp_num"],
+        )
+        sampler.sampling(eval_step, mstate, budget, 1, RoundStats())  # warm
+        t0 = time.perf_counter()
+        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
+        return (time.perf_counter() - t0, dict(sampler.phase_times),
+                total["sp_num"])
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -593,17 +765,19 @@ def main():
 
     if args.config == "selection_scale":
         results, sp_num, ref = measure_selection_scale()
-        dt10k = results[10000][0]
+        med10k = _median([d for d, _ in results[10000]])
+        med2k = _median([d for d, _ in results[2000]])
         result = {
             "metric": "al_selection_round_200cloud_wall_clock",
-            "value": round(dt10k, 2),
+            "value": round(med10k, 2),
             "unit": f"s (200 clouds, {sp_num} superpoints, 10000 clicks)",
-            "vs_baseline": round(ref["total_s"] / results[2000][0], 2),
+            "vs_baseline": round(ref["total_s"] / med2k, 2),
             "extras": {
-                "rounds": {str(b): {"wall_s": round(d, 2),
-                                    "phases": {k: round(v, 2)
-                                               for k, v in p.items()}}
-                           for b, (d, p) in results.items()},
+                "rounds": {str(b): [{"wall_s": round(d, 2),
+                                     "phases": {k: round(v, 2)
+                                                for k, v in p.items()}}
+                                    for d, p in rs]
+                           for b, rs in results.items()},
                 "reference_numpy_2000clicks": ref,
             },
         }
@@ -634,6 +808,9 @@ def main():
     batch = 6  # ConfigS3DIS.batch_size (helper_tool.py:53)
     tpu_pps = measure_tpu(batch)
     train_pps = measure_train_step(batch)
+    # the REAL training loop (fresh blocks every step through the
+    # device-resident pool) — the number an AL round actually trains at
+    real_loop_pps = measure_real_train_loop(batch)
     recall, recall_model, w_model = measure_window_recall()
     # best-of-2 single-worker host tf_map, then credit the reference its
     # 6 DataLoader workers with ideal linear scaling (see module docstring)
@@ -649,6 +826,10 @@ def main():
         "semantic3d_block_pipeline_points_per_sec_per_chip": round(
             sem3d_pps, 1),
         "train_step_points_per_sec_per_chip": round(train_pps, 1),
+        # 100 FRESH-batch steps via the device-resident pool (the
+        # production loop; the host pipeline measured 0.8-1.2 M)
+        "train_step_real_loop_points_per_sec": round(real_loop_pps, 1),
+        "train_step_real_loop_mode": "device_pool, 100 fresh-block steps",
         "host_tfmap_1worker_points_per_sec": round(host_1w, 1),
         "host_tfmap_6worker_points_per_sec": round(host_6w, 1),
         "knn_window_recall_at_16": round(recall, 4),
@@ -666,21 +847,75 @@ def main():
         extras["selection_speedup_vs_reference_numpy"] = round(
             ref["total_s"] / dt, 2)
         # selection at the reference's cloud-count scale (~200 S3DIS training
-        # clouds, 10000-click budget, ssdr_main_S3DIS2.py:134); the reference
-        # numpy path runs live at a bounded 2000-click budget (at the full
-        # 10000 it takes 816 s — measured once via profile_selection.py)
+        # clouds, 10000-click budget, ssdr_main_S3DIS2.py:134); 3 measured
+        # rounds per budget — the median is steady state, the spread is
+        # rung-crossing one-time compiles (see measure_selection_scale);
+        # the reference numpy path runs live at a bounded 2000-click budget
         res200, sp200, ref200 = measure_selection_scale()
-        extras["al_selection_round_200cloud_s"] = round(res200[10000][0], 2)
+        t10k = [d for d, _ in res200[10000]]
+        t2k = [d for d, _ in res200[2000]]
+        med10k, med2k = _median(t10k), _median(t2k)
+        extras["al_selection_round_200cloud_s"] = round(med10k, 2)
+        extras["al_selection_round_200cloud_rounds_s"] = [
+            round(d, 2) for d in t10k]
         extras["al_selection_round_200cloud_workload"] = (
-            f"200 clouds x 4096 pts, {sp200} superpoints, 10000 clicks")
+            f"200 clouds x 4096 pts, {sp200} superpoints, 10000 clicks; "
+            "median of 3 rounds (spread = one-time ladder-rung compiles as "
+            "the anchor cap grows — the r03 2k/10k inversion's cause)")
         extras["al_selection_round_200cloud_phases"] = {
-            k: round(v, 2) for k, v in res200[10000][1].items()}
-        extras["al_selection_round_200cloud_2000clicks_s"] = round(
-            res200[2000][0], 2)
+            k: round(v, 2)
+            for k, v in res200[10000][t10k.index(med10k)][1].items()}
+        extras["al_selection_round_200cloud_2000clicks_s"] = round(med2k, 2)
+        extras["al_selection_round_200cloud_2000clicks_rounds_s"] = [
+            round(d, 2) for d in t2k]
         extras["reference_numpy_selection_200cloud_2000clicks_s"] = round(
             ref200["total_s"], 2)
         extras["selection_speedup_vs_reference_numpy_200cloud"] = round(
-            ref200["total_s"] / res200[2000][0], 2)
+            ref200["total_s"] / med2k, 2)
+        # the TRUE operating point (10000 clicks): the reference numpy
+        # measurement takes ~17 min, so it lives in a committed artifact
+        # (results/ref_selection_10000clicks.json, produced by
+        # scripts/profile_selection.py --reference_only on an idle host)
+        # and the matched-budget speedup is computed against this run's
+        # median 10000-click round on the same workload generator/seed
+        import os as _os
+
+        art = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "results", "ref_selection_10000clicks.json")
+        if _os.path.exists(art):
+            with open(art) as f:
+                ref10k = json.load(f)
+            # conservative_total_s = MINIMUM of repeated measurements of the
+            # identical workload (host wall-clock varies 816-1277 s run to
+            # run; the min is the defensible speedup denominator)
+            ref10k_s = ref10k.get("conservative_total_s",
+                                  ref10k["phases"]["total_s"])
+            extras["reference_numpy_selection_200cloud_10000clicks_s"] = (
+                round(ref10k_s, 2))
+            extras["selection_speedup_vs_reference_numpy_10000clicks"] = (
+                round(ref10k_s / med10k, 2))
+            extras["reference_numpy_10000clicks_source"] = ref10k.get(
+                "command", "results/ref_selection_10000clicks.json")
+        # the trainable-GCN branch (coreGCN, the reference's headline SSDR
+        # GCN variant) at the same 200-cloud scale
+        try:
+            gcn_dt, gcn_phases = measure_selection_gcn()
+            extras["al_selection_round_200cloud_gcn_s"] = round(gcn_dt, 2)
+            extras["al_selection_round_200cloud_gcn_fit_s"] = round(
+                gcn_phases.get("div_gcn_s", -1.0), 2)
+        except Exception as e:  # keep the bench line printable
+            extras["al_selection_round_200cloud_gcn_s"] = f"FAILED: {e}"
+        # Semantic3D-scale selection: big clouds through the chunked path
+        try:
+            s3_dt, s3_phases, s3_sp = measure_semantic3d_selection()
+            extras["semantic3d_selection_round_s"] = round(s3_dt, 2)
+            extras["semantic3d_selection_round_workload"] = (
+                f"8 clouds x 1M pts, {s3_sp} superpoints, 3000 clicks, "
+                "65536-pt chunks")
+            extras["semantic3d_selection_round_phases"] = {
+                k: round(v, 2) for k, v in s3_phases.items()}
+        except Exception as e:
+            extras["semantic3d_selection_round_s"] = f"FAILED: {e}"
     result = {
         "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
         "value": round(tpu_pps, 1),

@@ -28,7 +28,8 @@ import numpy as np
 
 
 def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
-               seed_percent, rounds, clicks, log, t=0, start_round=2):
+               seed_percent, rounds, clicks, log, t=0, start_round=2,
+               use_pool=False):
     import jax
 
     from ssdr_al_tpu.active.samplers import (
@@ -44,6 +45,19 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
 
     state = ALState(workdir, [tag, f"t{t}"])
     seed_state = ALState(workdir, ["seed"])
+
+    # device-resident training pool (--pool): blocks sampled on device,
+    # per-step host upload ~100 B — the fresh-batch step runs at the
+    # device floor (train/device_pool.py). Block-sampling RNG is a
+    # different (equidistributed) stream than TrainingPipeline's, so pool
+    # and non-pool studies are comparable but not bit-identical.
+    pool = None
+    if use_pool:
+        from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+
+        pool = DeviceTrainPool(train, cfg, seed=1)
+        if not pool.available:
+            pool = None
 
     trainer = Trainer(
         cfg, "S3DIS",
@@ -74,9 +88,12 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
         seed_trainer.weights = trainer.weights
         seed_trainer.train_step = trainer.train_step
         seed_trainer.init_state(pipe.sample_batch(cfg.batch_size))
+        if pool is not None:
+            pool.update_pseudo_gt(pseudo)
+            pool.reseed(1)
         miou, oa = seed_trainer.train_round(
             1, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
-            evaluate,
+            evaluate, device_pool=pool,
         )
         log({"sampler": "seed", "round": 1, "miou": round(miou, 4),
              "oa": round(oa, 4)})
@@ -110,9 +127,12 @@ def run_config(tag, sampler_kind, workdir, train, val, cfg, total_sp,
         pipe = TrainingPipeline(train, cfg, pseudo_gt=pseudo,
                                 seed=1000 * t + 100 + r)
         t0 = time.time()
+        if pool is not None:
+            pool.update_pseudo_gt(pseudo)
+            pool.reseed(1000 * t + 100 + r)
         miou, oa = trainer.train_round(
             r, lambda e: pipe.batches(cfg.train_steps, cfg.batch_size),
-            evaluate,
+            evaluate, device_pool=pool,
         )
         # pseudo-label quality: accuracy of the activated pseudo labels vs
         # true GT, and labeled coverage — discriminates "oracle produced bad
@@ -171,6 +191,10 @@ def main():
                    help="resume a crashed run: first AL round to execute "
                         "(requires --workdir with rounds < start_round on "
                         "disk; the AL state protocol is round-resumable)")
+    p.add_argument("--pool", action="store_true",
+                   help="device-resident training pool: fresh-batch steps "
+                        "at the device floor (~1.6 M pts/s vs ~1.2 host "
+                        "pipeline) — use for high-fidelity studies")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
@@ -232,7 +256,7 @@ def main():
             curves[tag] = run_config(
                 tag, kind, work, train, val, cfg, total_sp,
                 args.seed_percent, args.rounds, args.clicks, log, t=args.t,
-                start_round=args.start_round,
+                start_round=args.start_round, use_pool=args.pool,
             )
 
         if args.start_round > 2:

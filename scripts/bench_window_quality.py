@@ -30,6 +30,11 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--windows", default="4096,3072,2048")
+    p.add_argument("--dataset", default="S3DIS",
+                   choices=["S3DIS", "Semantic3D"],
+                   help="block geometry: S3DIS = 40960-pt blocks, "
+                        "Semantic3D = 65536-pt blocks (VERDICT r4 #5: the "
+                        "sw=2048 default needs per-dataset evidence)")
     p.add_argument("--rooms", type=int, default=2)
     p.add_argument("--room_points", type=int, default=120000)
     p.add_argument("--batch", type=int, default=3)
@@ -43,7 +48,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    from ssdr_al_tpu.config import ConfigS3DIS
+    from ssdr_al_tpu.config import get_config
     from ssdr_al_tpu.data.dataset import TrainingPipeline
     from ssdr_al_tpu.data.synthetic import (
         NUM_SYNTH_CLASSES_HARD,
@@ -59,8 +64,11 @@ def main():
 
     train, val = make_dataset(num_train=args.rooms, num_val=1,
                               num_points=args.room_points, hard=True)
+    # dataset block geometry (num_points / d_out / sub ratios) with
+    # synthetic-hard labels; ignored labels cleared (synthetic GT has none)
     base = dataclasses.replace(
-        ConfigS3DIS, num_points=40960, num_classes=NUM_SYNTH_CLASSES_HARD,
+        get_config(args.dataset), num_classes=NUM_SYNTH_CLASSES_HARD,
+        ignored_label_inds=(),
         batch_size=args.batch, val_batch_size=args.batch,
         train_steps=args.steps, max_epoch=args.epochs,
         compute_dtype="bfloat16",

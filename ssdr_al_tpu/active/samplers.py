@@ -85,16 +85,26 @@ _SLOT_LADDER = [512, 1024, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
 @functools.partial(jax.jit, static_argnums=(2,))
 def _region_means_device(groups, slot, slot_cap):
     """Mean penultimate feature per region slot over the retained device
-    buffers. groups: tuple of [cb, N, 32] arrays; slot: [Σ cb·N] int32 in
-    [0, slot_cap] (slot_cap = trash for padding/non-region rows). Values
-    round through saturating float16 so the result matches the host
-    transfer path (inf protection — CLAUDE.md bf16→f16 lesson)."""
-    v = jnp.concatenate([g.reshape(-1, g.shape[-1]) for g in groups], axis=0)
-    v = jnp.clip(v.astype(jnp.float32), -6.5e4, 6.5e4).astype(
-        jnp.float16).astype(jnp.float32)
-    sums = jax.ops.segment_sum(v, slot, num_segments=slot_cap + 1)
-    cnt = jax.ops.segment_sum(
-        jnp.ones(slot.shape, jnp.float32), slot, num_segments=slot_cap + 1)
+    buffers. groups: tuple of [cb, N, 32] arrays (already saturating-f16 —
+    InferenceRunner._reduce_nofeat rounds at retention; CLAUDE.md bf16→f16
+    lesson); slot: [Σ cb·N] int32 in [0, slot_cap] (slot_cap = trash for
+    padding/non-region rows). Sums accumulate per group — concatenating the
+    groups first materialized a [total_points, 32] f32 slab (~1 GB at the
+    Semantic3D 8M-point scale; div_feats 12.1 → measured much cheaper
+    per-group, and no >500 MB single live buffer)."""
+    sums = jnp.zeros((slot_cap + 1, groups[0].shape[-1]), jnp.float32)
+    cnt = jnp.zeros((slot_cap + 1,), jnp.float32)
+    off = 0
+    for g in groups:
+        rows = g.shape[0] * g.shape[1]
+        v = g.reshape(-1, g.shape[-1])
+        v = jnp.clip(v.astype(jnp.float32), -6.5e4, 6.5e4).astype(
+            jnp.float16).astype(jnp.float32)
+        s = jax.lax.dynamic_slice_in_dim(slot, off, rows)
+        sums = sums + jax.ops.segment_sum(v, s, num_segments=slot_cap + 1)
+        cnt = cnt + jax.ops.segment_sum(
+            jnp.ones((rows,), jnp.float32), s, num_segments=slot_cap + 1)
+        off += rows
     return sums[:slot_cap] / jnp.maximum(cnt[:slot_cap], 1.0)[:, None]
 
 
@@ -181,10 +191,16 @@ class InferenceRunner:
             return cls, unc, f16
 
         @jax.jit
-        def _reduce_nofeat(probs):
+        def _reduce_nofeat(probs, feats):
+            # keep-on-device path: classes/uncertainty transfer narrow, the
+            # penult buffer is RETAINED on device — rounded to saturating
+            # f16 here (half the HBM of the raw activations, identical to
+            # the value the host path would see after its f16 transfer)
             unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
             cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return cls, unc
+            f16 = jnp.clip(feats.astype(jnp.float32), -6.5e4, 6.5e4).astype(
+                jnp.float16)
+            return cls, unc, f16
 
         self._reduce = _reduce
         self._reduce_nofeat = _reduce_nofeat
@@ -229,8 +245,8 @@ class InferenceRunner:
             res = self.eval_step(self.state, batch)
             order = res[2] if len(res) == 3 else None
             if self.keep_penult:
-                cls, u = self._reduce_nofeat(res[0])
-                self._penult_groups.append(res[1])
+                cls, u, pen16 = self._reduce_nofeat(res[0], res[1])
+                self._penult_groups.append(pen16)
                 f16 = None
             else:
                 cls, u, f16 = self._reduce(res[0], res[1])

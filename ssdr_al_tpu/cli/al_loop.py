@@ -94,6 +94,20 @@ def run_al_loop(args):
         )
     pipe0 = make_training_pipeline(exp)
     trainer.init_state(pipe0.sample_batch(exp.cfg.batch_size))
+    # device-resident training pool: fresh-batch steps at the device floor
+    # (train/device_pool.py). S3DIS-family random-block sampling only (the
+    # Semantic3D possibility schedule is a host feedback loop) and single
+    # device (the dp mesh shards host batches instead); falls back silently
+    # if the clouds exceed the SSDR_TRAIN_POOL_MB budget.
+    pool = None
+    if (getattr(args, "pool", 0) and exp.dataset_name != "semantic3d"
+            and trainer.mesh is None):
+        from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+
+        pool = DeviceTrainPool(exp.train_clouds, exp.cfg, seed=args.t)
+        if not pool.available:
+            log_out("device pool over budget; host pipeline", record)
+            pool = None
     evaluate = make_evaluator(exp, mesh=trainer.mesh)
 
     sp_batch_size = args.sp_batch_size or exp.cfg.sp_batch_size
@@ -120,10 +134,14 @@ def run_al_loop(args):
 
         t0 = time.time()
         round_dir = state.round_dir(r)
-        pipe = make_training_pipeline(exp, pseudo_gt=pseudo_gt_for_round(state, round_dir, exp.train_clouds), seed=r)
+        pseudo = pseudo_gt_for_round(state, round_dir, exp.train_clouds)
+        pipe = make_training_pipeline(exp, pseudo_gt=pseudo, seed=r)
+        if pool is not None:
+            pool.update_pseudo_gt(pseudo)
+            pool.reseed(r)
         miou, oa = trainer.train_round(
             r, lambda epoch: pipe.batches(exp.cfg.train_steps, exp.cfg.batch_size),
-            evaluate,
+            evaluate, device_pool=pool,
         )
         log_out(
             f"round= {r} | best_miou= {miou:.4f}, best_OA= {oa:.4f}, "
@@ -159,6 +177,10 @@ def main(argv=None):
                    help="padded superpoint size cap for pairwise chamfer "
                         "(0 = exact parity, unbounded)")
     p.add_argument("--min_size", type=int, default=1)
+    p.add_argument("--pool", type=int, default=1, choices=[0, 1],
+                   help="device-resident training pool (fresh-batch steps "
+                        "at the device floor); auto-falls back to the host "
+                        "pipeline off-budget / on Semantic3D / under dp")
     p.add_argument("--t", type=int, default=0)
     p.add_argument("--sp_batch_size", type=int, default=0,
                    help="clicks per round (0 = dataset default)")

@@ -193,6 +193,13 @@ class DeviceTrainPool:
         self.payload = _concat_payload(self._static, jax.device_put(dyn))
 
     # ------------------------------------------------------------- steps ---
+    def reseed(self, seed: int):
+        """Reset the host sampling stream (per-AL-round parity with
+        constructing a fresh TrainingPipeline per round)."""
+        self.rng = np.random.RandomState(seed)
+        self._order = np.arange(len(self.clouds))
+        self._pos = len(self.clouds)
+
     def _next_cloud_idx(self) -> int:
         if self._pos >= len(self._order):
             self.rng.shuffle(self._order)
