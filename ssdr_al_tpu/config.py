@@ -45,13 +45,17 @@ class Config:
     # Speed/recall knob: the search+gather cost of the two big layers scales
     # ~linearly with it. Default 2048 (model window 1792): engine recall at
     # the production shapes is 0.90 uniform / 0.956 scene (40960) and
-    # 0.895/0.961 (65536), and the MODEL is insensitive — a trained net's
-    # predictions agree 0.996 with an exact-KNN pyramid, and a same-seed
-    # 600-step training run matches-or-beats sw=4096 (scripts/
-    # bench_window_quality.py) — while the forward is 19% faster
-    # (78.3 -> 65.7 ms at B=6 bf16). sw=4096 recovers the old 0.93-recall
-    # configuration; 3072 is K-misaligned and SLOWER than either.
-    # Must be a multiple of 512.
+    # 0.895/0.961 (65536), and the MODEL is insensitive — per-dataset
+    # trained-model evidence (scripts/bench_window_quality.py, sw=2048 vs
+    # sw=4096, same seed):
+    #   S3DIS      (40960-pt blocks): agreement vs exact-KNN pyramid 0.996;
+    #              600-step training matches-or-beats sw=4096; forward 19%
+    #              faster (78.3 -> 65.7 ms at B=6 bf16).
+    #   Semantic3D (65536-pt blocks): agreement 0.9967 (sw=4096: 0.9963);
+    #              180-step mIoU 0.228 vs 0.224 — 2048 matches-or-beats
+    #              (bench_window_quality.py --dataset Semantic3D, r4).
+    # sw=4096 recovers the old 0.93-recall configuration; 3072 is
+    # K-misaligned and SLOWER than either. Must be a multiple of 512.
     search_window: int = 2048
     # Space-filling curve the window engine sorts along: "morton" (z-order)
     # or "hilbert". Measured A/B (scripts/bench_curve.py): hilbert is

@@ -64,6 +64,35 @@ class TestWindowRecallProduction:
         assert r_model >= 0.885, (
             f"production-window (w={w_model}) recall {r_model:.4f}")
 
+    def test_recall_at_65536_semantic3d(self, rng):
+        """Semantic3D production shape (65536-pt blocks, ConfigSemantic3D's
+        search_window) on uniform data. Exact neighbors are computed for a
+        SAMPLED query subset against the full support (a full 65536² exact
+        self-search wedges this platform's worker). Floor: measured 0.895
+        uniform minus noise margin. Trained-model evidence for the window
+        default lives in config.py (agreement 0.9967, mIoU parity —
+        scripts/bench_window_quality.py --dataset Semantic3D)."""
+        import jax.numpy as jnp
+
+        from ssdr_al_tpu.config import ConfigSemantic3D
+        from ssdr_al_tpu.models.randlanet import _GATHER_TQ
+        from ssdr_al_tpu.ops.knn import knn
+
+        n, k = 65536, 16
+        xyz = (rng.rand(1, n, 3) * 10).astype(np.float32)
+        x = jnp.asarray(xyz)
+        w_model = ConfigSemantic3D.search_window - max(0, _GATHER_TQ - 256)
+        idx = np.asarray(knn(x, x, k, engine="window", window=w_model))[0]
+        rows = np.arange(0, n, 53)
+        exact = np.asarray(
+            knn(x, x[:, rows], k, engine="xla"))[0]
+        hits = sum(
+            len(np.intersect1d(idx[r], exact[i]))
+            for i, r in enumerate(rows))
+        recall = hits / (len(rows) * k)
+        assert recall >= 0.885, (
+            f"Semantic3D production-window (w={w_model}) recall {recall:.4f}")
+
 
 class TestSortedLossPath:
     def test_sorted_loss_equals_unsorted(self, rng):
