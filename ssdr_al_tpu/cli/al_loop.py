@@ -100,11 +100,19 @@ def run_al_loop(args):
     # device (the dp mesh shards host batches instead); falls back silently
     # if the clouds exceed the SSDR_TRAIN_POOL_MB budget.
     pool = None
-    if (getattr(args, "pool", 0) and exp.dataset_name != "semantic3d"
-            and trainer.mesh is None):
-        from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+    if getattr(args, "pool", 0) and trainer.mesh is None:
+        if exp.dataset_name == "semantic3d":
+            # possibility-scheduled pool (the train2 generator on device)
+            from ssdr_al_tpu.train.possibility_pool import (
+                PossibilityDevicePool,
+            )
 
-        pool = DeviceTrainPool(exp.train_clouds, exp.cfg, seed=args.t)
+            pool = PossibilityDevicePool(exp.train_clouds, exp.cfg,
+                                         seed=args.t)
+        else:
+            from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+
+            pool = DeviceTrainPool(exp.train_clouds, exp.cfg, seed=args.t)
         if not pool.available:
             log_out("device pool over budget; host pipeline", record)
             pool = None
@@ -139,6 +147,8 @@ def run_al_loop(args):
         if pool is not None:
             pool.update_pseudo_gt(pseudo)
             pool.reseed(r)
+            if hasattr(pool, "reset_possibility"):
+                pool.reset_possibility(r)
         miou, oa = trainer.train_round(
             r, lambda epoch: pipe.batches(exp.cfg.train_steps, exp.cfg.batch_size),
             evaluate, device_pool=pool,
@@ -179,8 +189,9 @@ def main(argv=None):
     p.add_argument("--min_size", type=int, default=1)
     p.add_argument("--pool", type=int, default=1, choices=[0, 1],
                    help="device-resident training pool (fresh-batch steps "
-                        "at the device floor); auto-falls back to the host "
-                        "pipeline off-budget / on Semantic3D / under dp")
+                        "at the device floor; Semantic3D uses the "
+                        "possibility-scheduled variant); auto-falls back "
+                        "to the host pipeline off-budget / under dp")
     p.add_argument("--t", type=int, default=0)
     p.add_argument("--sp_batch_size", type=int, default=0,
                    help="clicks per round (0 = dataset default)")

@@ -174,6 +174,39 @@ def make_pooled_train_step(model: RandLANet, cfg: Config,
     return pooled_step
 
 
+def make_possibility_pooled_train_step(model: RandLANet, cfg: Config,
+                                       weights: np.ndarray,
+                                       knn_engine: str = "window",
+                                       augment: bool = True):
+    """Train step over a PossibilityDevicePool (the Semantic3D train2
+    path): the sequential possibility-scheduled batch assembly AND the
+    training step run as one jit; the possibility field threads through as
+    functional state. Per-step host traffic ≈ one RNG fold."""
+    table = (
+        label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
+        if cfg.ignored_label_inds else None
+    )
+    from ssdr_al_tpu.train.possibility_pool import possibility_extract
+
+    batch_size = cfg.batch_size
+    sigma = cfg.noise_init / 10
+
+    @jax.jit
+    def pooled_step(state: TrainState, pool_args, class_weight, poss, rng):
+        key = jax.random.fold_in(rng, state.step)
+        ext_key, dropout_rng = jax.random.split(key)
+        new_poss, xyz, features, labels, activation, pseudo = (
+            possibility_extract(
+                *pool_args, class_weight, poss, ext_key, batch_size,
+                cfg.num_points, sigma, augment))
+        state, metrics = _step_body(
+            model, cfg, weights, table, knn_engine, state,
+            xyz, features, labels, activation, pseudo, dropout_rng)
+        return state, new_poss, metrics
+
+    return pooled_step
+
+
 def _quantize_cols(x: np.ndarray, qmax: int, dtype) -> tuple:
     """Per-channel affine quantization of x [B, N, C] to `dtype`
     (x ≈ lo + q·sc). lo/sc are returned tiled to [B, 1, C] so a
@@ -428,9 +461,21 @@ class Trainer:
         self._rng, step_rng = jax.random.split(self._rng)
 
         use_pool = device_pool is not None and self.mesh is None
+        poss_pool = False
+        if use_pool:
+            from ssdr_al_tpu.train.possibility_pool import (
+                PossibilityDevicePool,
+            )
+
+            poss_pool = isinstance(device_pool, PossibilityDevicePool)
         if use_pool and self._pooled_step is None:
-            self._pooled_step = make_pooled_train_step(
-                self.model, cfg, self.weights, self._knn_engine)
+            if poss_pool:
+                self._pooled_step = make_possibility_pooled_train_step(
+                    self.model, cfg, self.weights, self._knn_engine,
+                    augment=device_pool.augment)
+            else:
+                self._pooled_step = make_pooled_train_step(
+                    self.model, cfg, self.weights, self._knn_engine)
 
         if self.mesh is not None:
             # data parallelism: replicate params, shard the batch axis —
@@ -442,7 +487,20 @@ class Trainer:
         for epoch in range(max_epoch):
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
-            if use_pool:
+            if use_pool and poss_pool:
+                args = device_pool.device_args()
+                poss = getattr(device_pool, "_poss_state", None)
+                if poss is None:
+                    poss = device_pool.init_possibility
+                for _ in range(self.steps_per_epoch):
+                    state, poss, metrics = self._pooled_step(
+                        state, args, device_pool.class_weight, poss,
+                        step_rng)
+                    losses.append(metrics["loss"])
+                    accs.append(metrics["accuracy"])
+                device_pool._poss_state = poss
+                batch_iter = ()
+            elif use_pool:
                 bsz = batch_size or cfg.batch_size
                 args = device_pool.device_args()
                 for _ in range(self.steps_per_epoch):
