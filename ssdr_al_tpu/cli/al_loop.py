@@ -100,20 +100,24 @@ def run_al_loop(args):
     # device (the dp mesh shards host batches instead); falls back silently
     # if the clouds exceed the SSDR_TRAIN_POOL_MB budget.
     pool = None
-    if getattr(args, "pool", 0) and trainer.mesh is None:
+    if getattr(args, "pool", 0):
         if exp.dataset_name == "semantic3d":
-            # possibility-scheduled pool (the train2 generator on device)
-            from ssdr_al_tpu.train.possibility_pool import (
-                PossibilityDevicePool,
-            )
+            # possibility-scheduled pool (the train2 generator on device);
+            # its batch scan is sequential — single-device only
+            if trainer.mesh is None:
+                from ssdr_al_tpu.train.possibility_pool import (
+                    PossibilityDevicePool,
+                )
 
-            pool = PossibilityDevicePool(exp.train_clouds, exp.cfg,
-                                         seed=args.t)
+                pool = PossibilityDevicePool(exp.train_clouds, exp.cfg,
+                                             seed=args.t)
         else:
+            # dp-compatible: trainer replicates the slab and shards the
+            # per-step ids/picks over the mesh
             from ssdr_al_tpu.train.device_pool import DeviceTrainPool
 
             pool = DeviceTrainPool(exp.train_clouds, exp.cfg, seed=args.t)
-        if not pool.available:
+        if pool is not None and not pool.available:
             log_out("device pool over budget; host pipeline", record)
             pool = None
     evaluate = make_evaluator(exp, mesh=trainer.mesh)

@@ -460,7 +460,7 @@ class Trainer:
         best_miou, best_oa = 0.0, 0.0
         self._rng, step_rng = jax.random.split(self._rng)
 
-        use_pool = device_pool is not None and self.mesh is None
+        use_pool = device_pool is not None
         poss_pool = False
         if use_pool:
             from ssdr_al_tpu.train.possibility_pool import (
@@ -468,6 +468,10 @@ class Trainer:
             )
 
             poss_pool = isinstance(device_pool, PossibilityDevicePool)
+            # the possibility schedule is sequential over the batch — its
+            # scan can't shard the batch axis; dp keeps the host pipeline
+            if poss_pool and self.mesh is not None:
+                use_pool = False
         if use_pool and self._pooled_step is None:
             if poss_pool:
                 self._pooled_step = make_possibility_pooled_train_step(
@@ -503,10 +507,26 @@ class Trainer:
             elif use_pool:
                 bsz = batch_size or cfg.batch_size
                 args = device_pool.device_args()
+                put = lambda x: x  # noqa: E731
+                if self.mesh is not None:
+                    # dp pooled training: slab replicated, per-step ids and
+                    # picks sharded on the batch axis — GSPMD partitions the
+                    # extraction (gathers are shard-local against the
+                    # replicated slab) and inserts the gradient psum
+                    from ssdr_al_tpu.parallel.mesh import (
+                        batch_sharding,
+                        replicated_sharding,
+                    )
+
+                    args = jax.device_put(args, replicated_sharding(self.mesh))
+                    m = int(self.mesh.devices.size)
+                    bsz = max(1, bsz // m) * m
+                    sh = batch_sharding(self.mesh)
+                    put = lambda x: jax.device_put(x, sh)  # noqa: E731
                 for _ in range(self.steps_per_epoch):
                     ids, picks = device_pool.sample_indices(bsz)
                     state, metrics = self._pooled_step(
-                        state, args, ids, picks, step_rng)
+                        state, args, put(ids), put(picks), step_rng)
                     losses.append(metrics["loss"])
                     accs.append(metrics["accuracy"])
                 batch_iter = ()

@@ -367,3 +367,53 @@ def test_chamfer_blocks_gathered_dp_matches_single(rng):
         chamfer_pairwise_blocks_gathered_dp(
             jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(idx), mesh, 4))
     np.testing.assert_allclose(dp, single, rtol=1e-6, atol=1e-6)
+
+
+def test_pooled_train_step_dp_matches_single_device(rng):
+    """Device-pool extraction + train step over the mesh == single device
+    (slab replicated, ids/picks sharded — the dp real-loop training path)."""
+    from ssdr_al_tpu.data.cloud import Cloud
+    from ssdr_al_tpu.models.randlanet import RandLANet
+    from ssdr_al_tpu.train.device_pool import DeviceTrainPool
+    from ssdr_al_tpu.train.trainer import (
+        create_train_state,
+        make_pooled_train_step,
+    )
+
+    cfg = TINY
+    clouds = [
+        Cloud(name=f"c{i}",
+              xyz=(rng.rand(900, 3) * 6).astype(np.float32),
+              colors=rng.rand(900, 3).astype(np.float32),
+              labels=rng.randint(0, cfg.num_classes, 900).astype(np.int32))
+        for i in range(3)
+    ]
+    pool = DeviceTrainPool(clouds, cfg, seed=0)
+    assert pool.available
+    model = RandLANet(cfg)
+    ids, picks = pool.sample_indices(8)
+    from ssdr_al_tpu.train.device_pool import extract_blocks
+
+    xyz_s, feats_s, *_ = extract_blocks(
+        *pool.device_args(), jnp.asarray(ids), jnp.asarray(picks),
+        jax.random.PRNGKey(0), cfg.num_points)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        {"xyz": np.asarray(xyz_s), "features": np.asarray(feats_s)},
+        steps_per_epoch=10)
+    step = make_pooled_train_step(model, cfg, np.ones(cfg.num_classes,
+                                                      np.float32), "xla")
+    key = jax.random.PRNGKey(1)
+    args = pool.device_args()
+    _, m_single = step(state, args, jnp.asarray(ids), jnp.asarray(picks), key)
+
+    mesh = make_mesh()
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    args_r = jax.device_put(args, replicated_sharding(mesh))
+    sh = batch_sharding(mesh)
+    _, m_dp = step(state_r, args_r, jax.device_put(ids, sh),
+                   jax.device_put(picks, sh), key)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(m_dp["accuracy"]),
+                               float(m_single["accuracy"]), atol=1e-6)
