@@ -40,6 +40,23 @@ _P_LADDER = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 # closed (see build_region_graph's enqueue loop)
 _G_CHUNK = 8
 
+# MXU distance build for the pairwise chamfer (the fused Pallas kernel —
+# see ops/chamfer.chamfer_pairwise_blocks_pallas). Numerics evidence in
+# scripts/bench_chamfer_mxu.py (FPS picks + top-8 graph neighbors identical
+# to exact f32); wall-clock in scripts/profile_chamfer.py (1.86x vs exact
+# at the 8x1024x512 Semantic3D production dispatch, 1.76x at 8x256x512).
+# Default: ON where the kernel exists (TPU backend; the per-dispatch
+# chamfer_supports_pallas shape gate falls back to the exact VPU path for
+# unsupported rungs). SSDR_CHAMFER_MXU=0/1 is the A/B override. Resolved
+# lazily so importing this module never initializes a jax backend.
+def mxu_default() -> bool:
+    env = os.environ.get("SSDR_CHAMFER_MXU")
+    if env is not None:
+        return env == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 # wall-clock of the last build_region_graph call's internal phases
 # (pad / chamfer enqueue / chamfer wait / ed_cd assembly) — consumed by the
@@ -201,8 +218,10 @@ class SuperpointBlockCache:
     is masked, and masked columns don't change chamfer
     (tests/test_active.py::TestRegionGraphBuckets)."""
 
-    def __init__(self, max_points_per_sp: Optional[int] = 512, mesh=None):
+    def __init__(self, max_points_per_sp: Optional[int] = 512, mesh=None,
+                 mxu: Optional[bool] = None):
         self.cap = max_points_per_sp
+        self.mxu = mxu_default() if mxu is None else bool(mxu)
         # optional data mesh: chamfer dispatches shard their fixed 8-block
         # chunk axis over it (the blocks are embarrassingly parallel);
         # requires _G_CHUNK % mesh.size == 0, else single-device dispatch
@@ -321,15 +340,27 @@ class SuperpointBlockCache:
         return int(self._device[p_rung][0].shape[0]) - 1
 
     def chamfer(self, p_rung: int, idx: np.ndarray):
-        """Enqueue gathered chamfer for idx [C, S] slab rows → [C, S, S]."""
-        pts, msk = self._device[p_rung]
-        if self.mesh is not None:
-            from ssdr_al_tpu.ops.chamfer import (
-                chamfer_pairwise_blocks_gathered_dp,
-            )
+        """Enqueue gathered chamfer for idx [C, S] slab rows → [C, S, S].
 
-            return chamfer_pairwise_blocks_gathered_dp(
+        mxu=True routes through the fused Pallas kernel where the shape
+        supports it (ops/chamfer.chamfer_supports_pallas); otherwise the
+        exact VPU path — the XLA bf16x3 form is never dispatched here (it
+        is 9× slower than exact on this platform: the min-reductions can't
+        fuse into a matmul producer outside Pallas)."""
+        from ssdr_al_tpu.ops import chamfer as _ch
+
+        pts, msk = self._device[p_rung]
+        use_pallas = self.mxu and _ch.chamfer_supports_pallas(
+            int(idx.shape[1]), p_rung)
+        if self.mesh is not None:
+            if use_pallas:
+                return _ch.chamfer_pairwise_blocks_gathered_dp_pallas(
+                    pts, msk, jnp.asarray(idx), self.mesh)
+            return _ch.chamfer_pairwise_blocks_gathered_dp(
                 pts, msk, jnp.asarray(idx), self.mesh, 8)
+        if use_pallas:
+            return _ch.chamfer_pairwise_blocks_gathered_pallas(
+                pts, msk, jnp.asarray(idx))
         return chamfer_pairwise_blocks_gathered(pts, msk, jnp.asarray(idx), 8)
 
 
@@ -341,6 +372,7 @@ def build_region_graph(
     max_points_per_sp: Optional[int] = 512,
     cache: Optional[SuperpointBlockCache] = None,
     mesh=None,
+    mxu: Optional[bool] = None,
 ) -> RegionGraph:
     """regions_by_cloud: {cloud: [(sp_idx, is_labeled, dominant_point_ids)]}.
 
@@ -356,6 +388,8 @@ def build_region_graph(
     """
     import time
 
+    if mxu is None:
+        mxu = cache.mxu if cache is not None else mxu_default()
     LAST_TIMINGS.clear()
     t0 = time.perf_counter()
     refs: List[RegionRef] = []
@@ -447,11 +481,19 @@ def build_region_graph(
                 msk_g[gi, : msk.shape[0], : msk.shape[1]] = msk
             # chamfer_pairwise chunks its own target dim to a bounded live
             # block, so a fixed row_chunk is safe at any S/P
-            if mesh is not None and _G_CHUNK % int(mesh.devices.size) == 0:
-                from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks_dp
+            from ssdr_al_tpu.ops import chamfer as _ch
 
-                cd_dev = chamfer_pairwise_blocks_dp(
-                    jnp.asarray(pts_g), jnp.asarray(msk_g), mesh, 8)
+            use_pallas = mxu and _ch.chamfer_supports_pallas(sb, p)
+            if mesh is not None and _G_CHUNK % int(mesh.devices.size) == 0:
+                if use_pallas:
+                    cd_dev = _ch.chamfer_pairwise_blocks_dp_pallas(
+                        jnp.asarray(pts_g), jnp.asarray(msk_g), mesh)
+                else:
+                    cd_dev = _ch.chamfer_pairwise_blocks_dp(
+                        jnp.asarray(pts_g), jnp.asarray(msk_g), mesh, 8)
+            elif use_pallas:
+                cd_dev = _ch.chamfer_pairwise_blocks_pallas(
+                    jnp.asarray(pts_g), jnp.asarray(msk_g))
             else:
                 cd_dev = chamfer_pairwise_blocks(
                     jnp.asarray(pts_g), jnp.asarray(msk_g), 8)

@@ -514,6 +514,10 @@ class TSamplerArgs:
     # cap on padded superpoint size for the pairwise chamfer (region_graph);
     # 0 = exact parity (no subsampling, memory grows with max-sp-size²)
     chamfer_cap: int = 512
+    # MXU (bf16x3 cross-term) distance build for the chamfer — picks/graph
+    # neighbors identical to exact f32 (scripts/bench_chamfer_mxu.py);
+    # None = platform default (region_graph.mxu_default / SSDR_CHAMFER_MXU)
+    chamfer_mxu: bool = None
 
 
 class TSampler:
@@ -828,7 +832,15 @@ class TSampler:
                 xyz, [sp.components[s] for s in sp_ids],
                 self.args.chamfer_cap or None,
             )
-            cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
+            from ssdr_al_tpu.active import region_graph as _rg
+            from ssdr_al_tpu.ops import chamfer as _ch
+            mxu = (_rg.mxu_default() if self.args.chamfer_mxu is None
+                   else bool(self.args.chamfer_mxu))
+            if mxu and _ch.chamfer_supports_pallas(*pts.shape[:2]):
+                cd = _ch.chamfer_pairwise_blocks_pallas(
+                    jnp.asarray(pts)[None], jnp.asarray(msk)[None])[0]
+            else:
+                cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
             sel = np.asarray(farthest_superpoint_sample(
                 jnp.asarray(cents), cd, 0, top_counts[name]
             ))
@@ -879,8 +891,11 @@ class TSampler:
         if self._block_cache is None:
             from ssdr_al_tpu.active.region_graph import SuperpointBlockCache
 
+            mxu = (_rg.mxu_default() if a.chamfer_mxu is None
+                   else bool(a.chamfer_mxu))
             self._block_cache = SuperpointBlockCache(
-                max_points_per_sp=a.chamfer_cap or None, mesh=self.mesh)
+                max_points_per_sp=a.chamfer_cap or None, mesh=self.mesh,
+                mxu=mxu)
             # pre-stage EVERY training cloud, not just this round's
             # candidates: a cloud staged in a later round would grow the
             # slab — a new operand shape for the gathered chamfer program
@@ -898,6 +913,7 @@ class TSampler:
             regions_by_cloud, cloud_xyz, components,
             max_points_per_sp=a.chamfer_cap or None,
             cache=self._block_cache, mesh=self.mesh,
+            mxu=self._block_cache.mxu,
         )
         for k, v in _rg.LAST_TIMINGS.items():
             self.phase_times[f"div_graph_{k}"] = v

@@ -89,6 +89,8 @@ def run_al_loop(args):
                 gcn_number=args.gcn_number,
                 gcn_top=args.gcn_top,
                 chamfer_cap=getattr(args, "chamfer_cap", 512),
+                chamfer_mxu={-1: None, 0: False, 1: True}[
+                    getattr(args, "chamfer_mxu", -1)],
             ),
             total_sp_num, seed=args.t, mesh=trainer.mesh,
         )
@@ -190,6 +192,11 @@ def main(argv=None):
     p.add_argument("--chamfer_cap", type=int, default=512,
                    help="padded superpoint size cap for pairwise chamfer "
                         "(0 = exact parity, unbounded)")
+    p.add_argument("--chamfer_mxu", type=int, default=-1, choices=[-1, 0, 1],
+                   help="chamfer distance build on the MXU (bf16x3 cross "
+                        "term; picks identical to exact f32 — "
+                        "scripts/bench_chamfer_mxu.py). -1 = platform "
+                        "default (SSDR_CHAMFER_MXU)")
     p.add_argument("--min_size", type=int, default=1)
     p.add_argument("--pool", type=int, default=1, choices=[0, 1],
                    help="device-resident training pool (fresh-batch steps "

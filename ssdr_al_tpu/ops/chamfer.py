@@ -21,12 +21,36 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 _BIG = 1e30
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def chamfer_pairwise(points, mask, row_chunk=8):
+def _split_bf16(x):
+    """f32 → (hi, lo) bf16 parts with hi + lo ≈ x to ~16 mantissa bits.
+
+    The split is done by BITCAST TRUNCATION (zero the low 16 mantissa
+    bits), not by a bf16 convert round-trip: this platform's XLA folds
+    `convert_f32(convert_bf16(x)) → x`, which silently turns the naive
+    `lo = x − f32(bf16(x))` into exactly 0 and collapses the whole bf16x3
+    algorithm into a single bf16 matmul (measured: the in-graph
+    round-trip split produced results BITWISE equal to a plain
+    DEFAULT-precision f32 dot, abs err 3.2e-3; the bitcast split survives
+    and restores the studied 1e-5-scale error). Rounding: adding 0x8000
+    before masking rounds half-away-from-zero instead of truncating —
+    plain truncation biases every residual the same direction and the
+    systematic part survives the chamfer means (measured 16× worse cd
+    error: rel p99 4.7e-4 truncated vs 2.2e-5 rounded). The rounded hi has
+    zero low mantissa bits, so it is exactly bf16-representable and its
+    convert is exact."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi_f.astype(jnp.bfloat16), (x - hi_f).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def chamfer_pairwise(points, mask, row_chunk=8, mxu=False):
     """points: [S, P, 3] float32 (centered); mask: [S, P] bool.
     Returns cd: [S, S] float32 with zero diagonal.
 
@@ -37,6 +61,20 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     temporaries, which crashed the TPU worker (huge-anchor AL rounds).
     Chunking is value-identical: per-target mins/means decompose over
     target chunks.
+
+    mxu=True builds the distance block on the systolic array instead of the
+    VPU: d² = |a|² + |b|² − 2a·b with the cross term as ONE K=9 bf16 matmul
+    using a manual hi/lo split (the bf16_3x algorithm — a·b ≈ a_hi·b_hi +
+    a_hi·b_lo + a_lo·b_hi, f32 accumulation; the dropped lo·lo term is
+    ~2⁻¹⁶ relative). Norms stay exact f32 on the VPU, so only the cross
+    term carries bf16x3 error. Measured numerics (scripts/bench_chamfer_mxu.py,
+    2 seeds, 96 superpoints): cd rel-err mean 4e-6 / p99 2.2e-5 / max 5.1e-5,
+    FPS pick overlap 1.0, top-8 graph-neighbor agreement 1.0 vs exact —
+    in contrast to P-cap shrinking, which was measurably lossy
+    (bench_chamfer_cap.py: cap 256 → overlap 0.79). The HIGHEST-precision
+    K=3 einsum (XLA's own bf16_6x expansion) is NOT used: it coincided with
+    repeated TPU-worker kernel faults on this platform; the manual split
+    takes the plain DEFAULT-precision MXU codegen path.
     """
     points = jnp.asarray(points, jnp.float32)
     s, p, _ = points.shape
@@ -52,33 +90,65 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     while s_pad % tc:
         tc -= 1
 
+    if mxu:
+        hi, lo = _split_bf16(pts)                      # [S, P, 3] bf16 ×2
+        # masked squared norms: BIG on padded points makes them lose every
+        # min in BOTH directions (replaces the two `where` masks of the VPU
+        # path); empty superpoints still come out as ~sqrt(_BIG)≈1e15 →
+        # isolated graph nodes, same as the exact path.
+        norms = jnp.where(msk, jnp.sum(pts * pts, axis=-1), _BIG)  # [S, P]
+
     def body(_, ci):
         start = ci * row_chunk
         a = jax.lax.dynamic_slice_in_dim(pts, start, row_chunk, axis=0)    # [rc,P,3]
         a_msk = jax.lax.dynamic_slice_in_dim(msk, start, row_chunk, axis=0)
         a_counts = jax.lax.dynamic_slice_in_dim(counts, start, row_chunk, axis=0)
+        if mxu:
+            a_hi = jax.lax.dynamic_slice_in_dim(hi, start, row_chunk, axis=0)
+            a_lo = jax.lax.dynamic_slice_in_dim(lo, start, row_chunk, axis=0)
+            a_n = jax.lax.dynamic_slice_in_dim(norms, start, row_chunk, axis=0)
+            # K-packed left operand: −2(ah·bh + ah·bl + al·bh) as ONE matmul
+            # (−2·bf16 is exact — exponent bump). [rc·P, 9]
+            ak = jnp.concatenate(
+                [-2.0 * a_hi, -2.0 * a_hi, -2.0 * a_lo], axis=-1
+            ).reshape(row_chunk * p, 9)
 
         def tbody(_, tj):
             t0 = tj * tc
-            t_pts = jax.lax.dynamic_slice_in_dim(pts, t0, tc, axis=0)
             t_msk = jax.lax.dynamic_slice_in_dim(msk, t0, tc, axis=0)
             t_counts = jax.lax.dynamic_slice_in_dim(counts, t0, tc, axis=0)
-            flat = t_pts.reshape(tc * p, 3)
-            # broadcast-subtraction distances: exact f32 on the VPU, the
-            # SAME form every KNN kernel here uses. (The previous K=3
-            # HIGHEST-precision einsum was the only MXU matmul in the AL
-            # path and coincided with repeated TPU-worker kernel faults.)
-            dx = a[:, :, 0][:, :, None] - flat[:, 0][None, None, :]
-            dy = a[:, :, 1][:, :, None] - flat[:, 1][None, None, :]
-            dz = a[:, :, 2][:, :, None] - flat[:, 2][None, None, :]
-            d2 = dx * dx + dy * dy + dz * dz            # [rc, P, tc*P]
-            d2 = jnp.where(t_msk.reshape(tc * p)[None, None, :], d2, _BIG)
-            d2 = d2.reshape(row_chunk, p, tc, p)
-            dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))        # [rc, P, tc]
+            if mxu:
+                b_hi = jax.lax.dynamic_slice_in_dim(hi, t0, tc, axis=0)
+                b_lo = jax.lax.dynamic_slice_in_dim(lo, t0, tc, axis=0)
+                b_n = jax.lax.dynamic_slice_in_dim(norms, t0, tc, axis=0)
+                bk = jnp.concatenate(
+                    [b_hi, b_lo, b_hi], axis=-1).reshape(tc * p, 9)
+                ab = jax.lax.dot_general(
+                    ak, bk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [rc·P, tc·P]
+                d2 = (a_n.reshape(row_chunk * p)[:, None]
+                      + b_n.reshape(tc * p)[None, :] + ab)
+                d2 = d2.reshape(row_chunk, p, tc, p)
+                # cancellation can leave tiny negatives near d≈0: clamp
+                # AFTER the min (O(S·P·tc) instead of O(S·P·tc·P))
+                dmin_ab = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+                dmin_ba = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+            else:
+                t_pts = jax.lax.dynamic_slice_in_dim(pts, t0, tc, axis=0)
+                flat = t_pts.reshape(tc * p, 3)
+                # broadcast-subtraction distances: exact f32 on the VPU, the
+                # SAME form every KNN kernel here uses.
+                dx = a[:, :, 0][:, :, None] - flat[:, 0][None, None, :]
+                dy = a[:, :, 1][:, :, None] - flat[:, 1][None, None, :]
+                dz = a[:, :, 2][:, :, None] - flat[:, 2][None, None, :]
+                d2 = dx * dx + dy * dy + dz * dz            # [rc, P, tc*P]
+                d2 = jnp.where(t_msk.reshape(tc * p)[None, None, :], d2, _BIG)
+                d2 = d2.reshape(row_chunk, p, tc, p)
+                dmin_ab = jnp.sqrt(jnp.min(d2, axis=-1))        # [rc, P, tc]
+                d2_ba = jnp.where(a_msk[:, :, None, None], d2, _BIG)
+                dmin_ba = jnp.sqrt(jnp.min(d2_ba, axis=1))      # [rc, tc, P]
             dmin_ab = jnp.where(a_msk[:, :, None], dmin_ab, 0.0)
             mean_ab = jnp.sum(dmin_ab, axis=1) / a_counts[:, None]
-            d2_ba = jnp.where(a_msk[:, :, None, None], d2, _BIG)
-            dmin_ba = jnp.sqrt(jnp.min(d2_ba, axis=1))      # [rc, tc, P]
             dmin_ba = jnp.where(t_msk[None, :, :], dmin_ba, 0.0)
             mean_ba = jnp.sum(dmin_ba, axis=-1) / t_counts[None, :]
             return None, mean_ab + mean_ba                  # [rc, tc]
@@ -92,8 +162,9 @@ def chamfer_pairwise(points, mask, row_chunk=8):
     return cd * (1.0 - jnp.eye(s, dtype=cd.dtype))
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8,
+                                     mxu=False):
     """chamfer_pairwise_blocks over blocks GATHERED on device from a
     resident slab: points_all [R, P, 3], mask_all [R, P], idx [C, S] int32
     rows into R (a trailing all-False trash row absorbs padding slots).
@@ -106,13 +177,13 @@ def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8):
     pts = points_all[idx]                       # [C, S, P, 3]
     msk = mask_all[idx]                         # [C, S, P]
     return jax.lax.map(
-        lambda args: chamfer_pairwise(args[0], args[1], row_chunk),
+        lambda args: chamfer_pairwise(args[0], args[1], row_chunk, mxu),
         (pts, msk),
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str):
+def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str, mxu: bool = False):
     """Cached jitted shard_map of the gathered chamfer: the block axis C is
     sharded over the mesh (each device gathers + reduces its own blocks
     from the replicated slab), the [C, S, S] result shards the same way.
@@ -126,7 +197,7 @@ def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str):
 
     def body(points_all, mask_all, idx):
         return chamfer_pairwise_blocks_gathered(
-            points_all, mask_all, idx, row_chunk)
+            points_all, mask_all, idx, row_chunk, mxu)
 
     sm = shard_map(body, mesh=mesh,
                    in_specs=(P(), P(), P(axis_name)),
@@ -135,7 +206,7 @@ def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str):
 
 
 @functools.lru_cache(maxsize=32)
-def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str):
+def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str, mxu: bool = False):
     """Cached jitted shard_map of the streaming blocked chamfer (block axis
     sharded over the mesh)."""
     from jax.sharding import PartitionSpec as P
@@ -145,7 +216,7 @@ def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str):
         from jax.experimental.shard_map import shard_map
 
     def body(points, mask):
-        return chamfer_pairwise_blocks(points, mask, row_chunk)
+        return chamfer_pairwise_blocks(points, mask, row_chunk, mxu)
 
     sm = shard_map(body, mesh=mesh,
                    in_specs=(P(axis_name), P(axis_name)),
@@ -154,25 +225,26 @@ def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str):
 
 
 def chamfer_pairwise_blocks_gathered_dp(points_all, mask_all, idx, mesh,
-                                        row_chunk=8, axis_name="data"):
+                                        row_chunk=8, axis_name="data",
+                                        mxu=False):
     """Data-parallel chamfer_pairwise_blocks_gathered: the C chamfer blocks
     of one dispatch are embarrassingly parallel, so shard the block axis
     over the data mesh (the distributed diversity phase — the reference has
     no distributed anything, SURVEY §2.3; this is the TPU-native scaling
     story for selection beyond the prediction pass). Requires
     C % mesh-size == 0 (region_graph dispatches fixed chunks of 8)."""
-    return _gathered_dp_fn(mesh, row_chunk, axis_name)(
+    return _gathered_dp_fn(mesh, row_chunk, axis_name, mxu)(
         points_all, mask_all, idx)
 
 
 def chamfer_pairwise_blocks_dp(points, mask, mesh, row_chunk=8,
-                               axis_name="data"):
+                               axis_name="data", mxu=False):
     """Data-parallel chamfer_pairwise_blocks (streaming path)."""
-    return _blocks_dp_fn(mesh, row_chunk, axis_name)(points, mask)
+    return _blocks_dp_fn(mesh, row_chunk, axis_name, mxu)(points, mask)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def chamfer_pairwise_blocks(points, mask, row_chunk=8):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def chamfer_pairwise_blocks(points, mask, row_chunk=8, mxu=False):
     """Batched chamfer_pairwise over per-cloud blocks in ONE device call.
 
     points: [C, S, P, 3] float32 (centered); mask: [C, S, P] bool.
@@ -183,9 +255,202 @@ def chamfer_pairwise_blocks(points, mask, row_chunk=8):
 
     def one(args):
         pts, msk = args
-        return chamfer_pairwise(pts, msk, row_chunk)
+        return chamfer_pairwise(pts, msk, row_chunk, mxu)
 
     return jax.lax.map(one, (points, mask))
+
+
+# --------------------------------------------------------------- pallas ---
+# Fused MXU chamfer kernel. The XLA mxu=True path above is numerically
+# right but 9× SLOWER than the exact VPU path on this platform: XLA cannot
+# fuse the min-reductions into a matmul producer, so every [rc·P, tc·P]
+# distance block round-trips HBM (measured 3.28 s vs 0.37 s at 8×256×512).
+# The kernel streams d² tiles through VMEM instead: one K=16 bf16 matmul
+# builds each [P, TJ·P] tile (cross term bf16x3 + norms bf16x2, all packed
+# into the contraction dim — zero VPU assembly ops), and the two
+# directional min/sqrt/sum reductions consume it in-place. Only the
+# [S, S] directional SUMS leave the kernel.
+
+
+def _pack_chamfer_operands(points, mask):
+    """points [C, S, P, 3] f32 + mask [C, S, P] → (lhs [C·S·P, 16] bf16,
+    rhs [16, C·S·P] bf16) with d²[a, b] = lhs[a] · rhs[b].
+
+    K-lane layout (bf16x3 cross term, bf16x2 norms — numerics measured in
+    scripts/bench_chamfer_mxu.py form=bf16x3_kernel_pack):
+      lhs: [-2xh,-2yh,-2zh, -2xh,-2yh,-2zh, -2xl,-2yl,-2zl, nh, nl, 1, 1, 0×3]
+      rhs: [ xh,  yh,  zh,   xl,  yl,  zl,   xh,  yh,  zh,  1,  1, nh, nl, 0×3]
+
+    Padded points get coords 0 and norm 1e30: their d² against ANYTHING is
+    ≥ ~1e30 with NO cancellation risk (the cross term is exactly zero), so
+    an in-kernel `dmin < 1e14` threshold separates sentinel rows exactly —
+    genuine distances are scene-scale. An all-padded (empty) superpoint
+    yields dmin ≈ 1e15, preserved as the isolated-node sentinel by the
+    caller's epilogue."""
+    c, s, p, _ = points.shape
+    pts = jnp.where(mask[..., None], points.astype(jnp.float32), 0.0)
+    n = jnp.where(mask, jnp.sum(pts * pts, axis=-1), _BIG)
+    xh, xl = _split_bf16(pts)                     # [C,S,P,3] bf16 ×2
+    nh, nl = _split_bf16(n)                       # [C,S,P]  bf16 ×2
+    one = jnp.ones_like(nh)
+    zero = jnp.zeros_like(nh)
+    st = [zero[..., None]] * 3
+    lhs = jnp.concatenate(
+        [-2.0 * xh, -2.0 * xh, -2.0 * xl,
+         nh[..., None], nl[..., None], one[..., None], one[..., None]] + st,
+        axis=-1).reshape(c * s * p, 16)
+    rhs = jnp.concatenate(
+        [xh, xl, xh,
+         one[..., None], one[..., None], nh[..., None], nl[..., None]] + st,
+        axis=-1).reshape(c * s * p, 16)
+    return lhs, jnp.transpose(rhs)
+
+
+def _chamfer_sums_kernel(lhs_ref, rhs_ref, out_ref, *, p, ti, tj):
+    """One grid step: TI source superpoints × TJ target superpoints.
+
+    lhs_ref [TI·P, 16] bf16; rhs_ref [16, TJ·P] bf16; out_ref [TI, S] f32
+    with out[t1, t2] = Σ over t2's VALID points of (min distance to t1's
+    points) — ONE directional sum per ordered pair. The other direction is
+    its own transpose (Σ over a's points of min-to-b ≡ out[b, a]), so the
+    kernel does HALF the min work of a two-sided form and only the
+    lane-efficient axis-0 reduction (a [1, P] row per segment; the axis-1
+    form yields [P, 1] columns — a full lane-padded vreg each, the Mosaic
+    pathology CLAUDE.md documents). Division by counts, the transpose
+    combine, and the empty-superpoint guard happen in the XLA epilogue,
+    where the counts live.
+
+    The out block spans the FULL S column dim (Mosaic requires the last
+    block dim be 128-divisible or whole-array; [TI, TJ] is neither) and
+    persists across the innermost grid dim j — each j step blends its own
+    disjoint tj-column window at j·tj via a lane-iota select (Mosaic can't
+    store scalars to VMEM)."""
+    j = pl.program_id(2)
+    s = out_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    for t1 in range(ti):
+        a = lhs_ref[pl.ds(t1 * p, p), :]                    # [P, 16]
+        d2 = jax.lax.dot_general(
+            a, rhs_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [P, TJ·P]
+        row = out_ref[t1:t1 + 1, :]                         # [1, S]
+        for t2 in range(tj):
+            seg = d2[:, t2 * p:(t2 + 1) * p]                # [P, P]
+            dba = jnp.sqrt(jnp.maximum(
+                jnp.min(seg, axis=0, keepdims=True), 0.0))  # [1, P]
+            dba = jnp.where(dba < 1e14, dba, 0.0)
+            row = jnp.where(lane == j * tj + t2, jnp.sum(dba), row)
+        out_ref[t1:t1 + 1, :] = row
+
+
+def _pallas_tiles(s: int, p: int):
+    """(TI, TJ) for the kernel grid, or None if the shape is unsupported
+    (P must be lane-sliceable and the [P, TJ·P] f32 tile must fit VMEM)."""
+    if p % 128 or p > 1024:
+        return None
+    tj = min(8, (2 * 1024 * 1024) // (p * p))   # d² tile ≤ 8 MB
+    while tj > 1 and s % tj:
+        tj //= 2
+    ti = 8
+    while ti > 1 and s % ti:
+        ti //= 2
+    if tj < 1 or s % tj or s % ti:
+        return None
+    return ti, tj
+
+
+def chamfer_supports_pallas(s: int, p: int) -> bool:
+    return jax.default_backend() == "tpu" and _pallas_tiles(s, p) is not None
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def chamfer_pairwise_blocks_pallas(points, mask, interpret=False):
+    """chamfer_pairwise_blocks on the fused MXU kernel.
+
+    points [C, S, P, 3] f32 (centered), mask [C, S, P] → [C, S, S] f32,
+    zero diagonal, ~1e15 at empty superpoints (isolated graph nodes), same
+    semantics as the exact path to the bf16x3 tolerance
+    (scripts/bench_chamfer_mxu.py: FPS picks and top-8 graph neighbors
+    identical to exact f32)."""
+    c, s, p, _ = points.shape
+    tiles = _pallas_tiles(s, p)
+    if tiles is None:
+        raise ValueError(f"unsupported chamfer kernel shape S={s} P={p}")
+    ti, tj = tiles
+    lhs, rhs = _pack_chamfer_operands(points, mask)
+    kern = functools.partial(_chamfer_sums_kernel, p=p, ti=ti, tj=tj)
+    o = pl.pallas_call(
+        kern,
+        grid=(c, s // ti, s // tj),
+        in_specs=[
+            pl.BlockSpec((ti * p, 16), lambda ci, ib, j: (ci * (s // ti) + ib, 0)),
+            pl.BlockSpec((16, tj * p), lambda ci, ib, j: (0, ci * (s // tj) + j)),
+        ],
+        # full-S column block (Mosaic block-shape rule), persistent across
+        # the innermost grid dim — see _chamfer_sums_kernel
+        out_specs=pl.BlockSpec(
+            (ti, s), lambda ci, ib, j: (ci * (s // ti) + ib, 0)),
+        out_shape=jax.ShapeDtypeStruct((c * s, s), jnp.float32),
+        interpret=interpret,
+    )(lhs, rhs)
+    # o[a, b] = Σ over b's points of min-dist-to-a; the chamfer combine
+    # cd[a, b] = oab[a, b]/cnt[a] + oab[b, a]/cnt[b] with oab = oᵀ
+    cnt = jnp.sum(mask, axis=-1).astype(jnp.float32)        # [C, S]
+    safe = jnp.maximum(cnt, 1.0)
+    o = o.reshape(c, s, s)
+    cd = (jnp.swapaxes(o, 1, 2) / safe[:, :, None]
+          + o / safe[:, None, :])
+    empty = cnt == 0
+    cd = jnp.where(empty[:, :, None] | empty[:, None, :], 1e15, cd)
+    return cd * (1.0 - jnp.eye(s, dtype=cd.dtype))[None]
+
+
+@jax.jit
+def chamfer_pairwise_blocks_gathered_pallas(points_all, mask_all, idx):
+    """Gathered-slab variant of the kernel path (see
+    chamfer_pairwise_blocks_gathered for the slab protocol)."""
+    return chamfer_pairwise_blocks_pallas(points_all[idx], mask_all[idx])
+
+
+@functools.lru_cache(maxsize=32)
+def _gathered_pallas_dp_fn(mesh, axis_name: str):
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def body(points_all, mask_all, idx):
+        return chamfer_pairwise_blocks_gathered_pallas(
+            points_all, mask_all, idx)
+
+    sm = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(axis_name)),
+                   out_specs=P(axis_name))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocks_pallas_dp_fn(mesh, axis_name: str):
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sm = shard_map(chamfer_pairwise_blocks_pallas, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name)),
+                   out_specs=P(axis_name))
+    return jax.jit(sm)
+
+
+def chamfer_pairwise_blocks_gathered_dp_pallas(points_all, mask_all, idx,
+                                               mesh, axis_name="data"):
+    return _gathered_pallas_dp_fn(mesh, axis_name)(points_all, mask_all, idx)
+
+
+def chamfer_pairwise_blocks_dp_pallas(points, mask, mesh, axis_name="data"):
+    return _blocks_pallas_dp_fn(mesh, axis_name)(points, mask)
 
 
 def pad_superpoints(sp_points_list, max_points=None):

@@ -15,7 +15,7 @@ from ssdr_al_tpu.ops import (
     segment_mean,
     segment_count,
 )
-from ssdr_al_tpu.ops.chamfer import pad_superpoints
+from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks, pad_superpoints
 from ssdr_al_tpu.ops.grid_subsample import grid_subsample_jax
 
 
@@ -165,6 +165,60 @@ class TestChamfer:
         # spot-check two pairs against the numpy oracle
         want = np_chamfer_pairwise(clouds[:3])
         np.testing.assert_allclose(multi[:3, :3], want, rtol=1e-4, atol=1e-4)
+
+    def test_mxu_form_matches_exact(self, rng):
+        """The bf16x3 MXU distance build (d² = |a|²+|b|²−2a·b with a K=9
+        hi/lo-split matmul) must track the exact VPU form to the studied
+        tolerance (scripts/bench_chamfer_mxu.py: rel err ≤ ~5e-5), with
+        identical masking semantics (ragged pads, empty superpoints)."""
+        clouds = [
+            (rng.randn(n, 3) * rng.uniform(0.05, 0.6, 3)).astype(np.float32)
+            for n in rng.randint(20, 200, size=12)
+        ]
+        pts, msk = pad_superpoints(clouds)
+        # inject an EMPTY superpoint (all-False mask row) — must stay the
+        # ~sqrt(_BIG) isolated-node sentinel in both forms
+        pts[4] = 0.0
+        msk[4] = False
+        exact = np.asarray(chamfer_pairwise(pts, msk, 8, False))
+        got = np.asarray(chamfer_pairwise(pts, msk, 8, True))
+        finite = exact < 1e9
+        off = ~np.eye(len(clouds), dtype=bool)
+        sel = finite & off
+        rel = np.abs(got - exact)[sel] / np.maximum(exact[sel], 1e-9)
+        assert rel.max() < 5e-4, rel.max()
+        assert (got[~finite] > 1e12).all()  # empty region stays isolated
+        np.testing.assert_allclose(np.diag(got), 0, atol=1e-6)
+
+    def test_pallas_kernel_matches_exact_interpret(self, rng):
+        """The fused MXU chamfer kernel (interpret mode on CPU; the real
+        Mosaic compile is gated on TPU in test_tpu_gates). Checks the full
+        packed form — bf16x3 cross term + bf16x2 norms in one K=16 matmul —
+        plus the sentinel masking: padded tails excluded from the sums,
+        empty superpoints isolated, zero diagonal."""
+        from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks_pallas
+
+        c, s, p = 2, 16, 128
+        pts = (rng.randn(c, s, p, 3)
+               * rng.uniform(0.05, 0.6, (c, s, 1, 3))).astype(np.float32)
+        msk = np.ones((c, s, p), bool)
+        for ci in range(c):
+            for i in range(s):
+                n = rng.randint(p // 3, p + 1)
+                msk[ci, i, n:] = False
+                pts[ci, i, n:] = 0
+        pts[0, 5] = 0
+        msk[0, 5] = False  # empty region
+        e = np.asarray(chamfer_pairwise_blocks(
+            jnp.asarray(pts), jnp.asarray(msk), 8, False))
+        k = np.asarray(chamfer_pairwise_blocks_pallas(
+            jnp.asarray(pts), jnp.asarray(msk), True))
+        off = ~np.eye(s, dtype=bool)[None].repeat(c, 0)
+        fin = off & (e < 1e9)
+        rel = np.abs(k - e)[fin] / np.maximum(e[fin], 1e-9)
+        assert rel.max() < 5e-4, rel.max()
+        assert (k[off & ~(e < 1e9)] > 1e12).all()
+        assert np.abs(k[:, np.arange(s), np.arange(s)]).max() == 0.0
 
 
 # ------------------------------------------------------------------- geof ---
