@@ -914,6 +914,9 @@ def main():
                 "65536-pt chunks")
             extras["semantic3d_selection_round_phases"] = {
                 k: round(v, 2) for k, v in s3_phases.items()}
+            from ssdr_al_tpu.active.region_graph import mxu_default
+            extras["semantic3d_selection_chamfer_engine"] = (
+                "pallas_mxu" if mxu_default() else "exact_vpu")
         except Exception as e:
             extras["semantic3d_selection_round_s"] = f"FAILED: {e}"
     result = {
