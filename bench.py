@@ -914,9 +914,14 @@ def main():
                 "65536-pt chunks")
             extras["semantic3d_selection_round_phases"] = {
                 k: round(v, 2) for k, v in s3_phases.items()}
-            from ssdr_al_tpu.active.region_graph import mxu_default
+            # label the engine from what actually dispatched (the per-rung
+            # shape/footprint gate can fall back to exact even when the
+            # platform default is the kernel)
+            n_pal = s3_phases.get("div_graph_chamfer_pallas_dispatches", 0.0)
+            n_all = s3_phases.get("div_graph_chamfer_dispatches", 0.0)
             extras["semantic3d_selection_chamfer_engine"] = (
-                "pallas_mxu" if mxu_default() else "exact_vpu")
+                f"pallas_mxu {int(n_pal)}/{int(n_all)} dispatches"
+                if n_pal else "exact_vpu")
         except Exception as e:
             extras["semantic3d_selection_round_s"] = f"FAILED: {e}"
     result = {

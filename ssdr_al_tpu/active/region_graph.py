@@ -351,7 +351,11 @@ class SuperpointBlockCache:
 
         pts, msk = self._device[p_rung]
         use_pallas = self.mxu and _ch.chamfer_supports_pallas(
-            int(idx.shape[1]), p_rung)
+            int(idx.shape[1]), p_rung, int(idx.shape[0]))
+        LAST_TIMINGS["chamfer_pallas_dispatches"] = LAST_TIMINGS.get(
+            "chamfer_pallas_dispatches", 0.0) + float(use_pallas)
+        LAST_TIMINGS["chamfer_dispatches"] = LAST_TIMINGS.get(
+            "chamfer_dispatches", 0.0) + 1.0
         if self.mesh is not None:
             if use_pallas:
                 return _ch.chamfer_pairwise_blocks_gathered_dp_pallas(
@@ -388,8 +392,13 @@ def build_region_graph(
     """
     import time
 
-    if mxu is None:
-        mxu = cache.mxu if cache is not None else mxu_default()
+    # ONE numerics engine per graph: when a cache exists its mxu setting
+    # wins (a caller-supplied flag that disagreed would mix kernel and
+    # exact chamfer per-cloud within one round, cache hits vs misses)
+    if cache is not None:
+        mxu = cache.mxu
+    elif mxu is None:
+        mxu = mxu_default()
     LAST_TIMINGS.clear()
     t0 = time.perf_counter()
     refs: List[RegionRef] = []
@@ -483,7 +492,11 @@ def build_region_graph(
             # block, so a fixed row_chunk is safe at any S/P
             from ssdr_al_tpu.ops import chamfer as _ch
 
-            use_pallas = mxu and _ch.chamfer_supports_pallas(sb, p)
+            use_pallas = mxu and _ch.chamfer_supports_pallas(sb, p, _G_CHUNK)
+            LAST_TIMINGS["chamfer_pallas_dispatches"] = LAST_TIMINGS.get(
+                "chamfer_pallas_dispatches", 0.0) + float(use_pallas)
+            LAST_TIMINGS["chamfer_dispatches"] = LAST_TIMINGS.get(
+                "chamfer_dispatches", 0.0) + 1.0
             if mesh is not None and _G_CHUNK % int(mesh.devices.size) == 0:
                 if use_pallas:
                     cd_dev = _ch.chamfer_pairwise_blocks_dp_pallas(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -517,7 +517,7 @@ class TSamplerArgs:
     # MXU (bf16x3 cross-term) distance build for the chamfer — picks/graph
     # neighbors identical to exact f32 (scripts/bench_chamfer_mxu.py);
     # None = platform default (region_graph.mxu_default / SSDR_CHAMFER_MXU)
-    chamfer_mxu: bool = None
+    chamfer_mxu: Optional[bool] = None
 
 
 class TSampler:
@@ -832,15 +832,13 @@ class TSampler:
                 xyz, [sp.components[s] for s in sp_ids],
                 self.args.chamfer_cap or None,
             )
-            from ssdr_al_tpu.active import region_graph as _rg
-            from ssdr_al_tpu.ops import chamfer as _ch
-            mxu = (_rg.mxu_default() if self.args.chamfer_mxu is None
-                   else bool(self.args.chamfer_mxu))
-            if mxu and _ch.chamfer_supports_pallas(*pts.shape[:2]):
-                cd = _ch.chamfer_pairwise_blocks_pallas(
-                    jnp.asarray(pts)[None], jnp.asarray(msk)[None])[0]
-            else:
-                cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
+            # exact path on purpose: S here is min(2*top_count, candidates)
+            # per cloud — an arbitrary integer that drifts every round, so
+            # the fused kernel would pay a fresh Mosaic compile per shape
+            # (CLAUDE.md: the compiled-shape set must be CLOSED); the
+            # bucketed hot path (build_region_graph) is where the kernel
+            # runs
+            cd = chamfer_pairwise(jnp.asarray(pts), jnp.asarray(msk))
             sel = np.asarray(farthest_superpoint_sample(
                 jnp.asarray(cents), cd, 0, top_counts[name]
             ))

@@ -91,12 +91,19 @@ def chamfer_pairwise(points, mask, row_chunk=8, mxu=False):
         tc -= 1
 
     if mxu:
-        hi, lo = _split_bf16(pts)                      # [S, P, 3] bf16 ×2
+        # zero masked slots BEFORE the split: the VPU path's `where` masks
+        # make results independent of padded-point coordinates, and the
+        # cross term must keep that invariant (callers may reuse buffers
+        # with junk in masked slots)
+        pts_m = jnp.where(msk[..., None], pts, 0.0)
+        hi, lo = _split_bf16(pts_m)                    # [S, P, 3] bf16 ×2
         # masked squared norms: BIG on padded points makes them lose every
         # min in BOTH directions (replaces the two `where` masks of the VPU
-        # path); empty superpoints still come out as ~sqrt(_BIG)≈1e15 →
-        # isolated graph nodes, same as the exact path.
-        norms = jnp.where(msk, jnp.sum(pts * pts, axis=-1), _BIG)  # [S, P]
+        # path; the zeroed coords make the cross term exactly 0 there, so
+        # there is no cancellation risk against the sentinel); empty
+        # superpoints still come out as ~sqrt(_BIG)≈1e15 → isolated graph
+        # nodes, same as the exact path.
+        norms = jnp.where(msk, jnp.sum(pts_m * pts_m, axis=-1), _BIG)
 
     def body(_, ci):
         start = ci * row_chunk
@@ -182,6 +189,14 @@ def chamfer_pairwise_blocks_gathered(points_all, mask_all, idx, row_chunk=8,
     )
 
 
+def _get_shard_map():
+    """jax.shard_map moved out of experimental mid-0.4.x — resolve once."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    return sm
+
+
 @functools.lru_cache(maxsize=32)
 def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str, mxu: bool = False):
     """Cached jitted shard_map of the gathered chamfer: the block axis C is
@@ -191,9 +206,7 @@ def _gathered_dp_fn(mesh, row_chunk: int, axis_name: str, mxu: bool = False):
     cache per (mesh, row_chunk)."""
     from jax.sharding import PartitionSpec as P
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     def body(points_all, mask_all, idx):
         return chamfer_pairwise_blocks_gathered(
@@ -211,9 +224,7 @@ def _blocks_dp_fn(mesh, row_chunk: int, axis_name: str, mxu: bool = False):
     sharded over the mesh)."""
     from jax.sharding import PartitionSpec as P
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     def body(points, mask):
         return chamfer_pairwise_blocks(points, mask, row_chunk, mxu)
@@ -344,22 +355,38 @@ def _chamfer_sums_kernel(lhs_ref, rhs_ref, out_ref, *, p, ti, tj):
 
 
 def _pallas_tiles(s: int, p: int):
-    """(TI, TJ) for the kernel grid, or None if the shape is unsupported
-    (P must be lane-sliceable and the [P, TJ·P] f32 tile must fit VMEM)."""
-    if p % 128 or p > 1024:
+    """(TI, TJ) for the kernel grid, or None if the shape is unsupported.
+
+    Gates: P lane-sliceable (×128, ≤1024); the [P, TJ·P] f32 d² tile fits
+    VMEM; S % 8 == 0 so the tiles never degenerate — an odd S would force
+    ti=tj=1, a grid of S² steps each doing one tiny [P, P] matmul, slower
+    than the exact VPU call it replaces. region_graph's S buckets are 16s
+    so production dispatches always pass; arbitrary-S callers (e.g. the
+    edcd branch's per-round top-k counts) fall back to the exact path,
+    which also avoids per-round Mosaic recompiles on drifting shapes."""
+    if p % 128 or p > 1024 or s % 8:
         return None
     tj = min(8, (2 * 1024 * 1024) // (p * p))   # d² tile ≤ 8 MB
     while tj > 1 and s % tj:
         tj //= 2
     ti = 8
-    while ti > 1 and s % ti:
-        ti //= 2
     if tj < 1 or s % tj or s % ti:
         return None
     return ti, tj
 
 
-def chamfer_supports_pallas(s: int, p: int) -> bool:
+def chamfer_supports_pallas(s: int, p: int, c: int = 8) -> bool:
+    """True iff the fused kernel both exists (TPU) and is SAFE at this
+    dispatch: beyond the tile gates, the packed operands bound the largest
+    single live buffers — the masked f32 pts [C,S,P,3] (12·C·S·P bytes) and
+    the bf16 lhs/rhs [C·S·P, 16] (32·C·S·P each) — and this platform's TPU
+    worker dies on >500 MB live buffers (~40 min recovery, CLAUDE.md).
+    Cap C·S·P at 5.24e6 (the measured-good 8×1024×512 production dispatch
+    ×1.25): larger ladder rungs (late-round anchor growth can reach S=4096)
+    fall back to the exact path, whose target-chunked form keeps live
+    blocks ≤ ~128 MB at any S."""
+    if c * s * p > 5_242_880:
+        return False
     return jax.default_backend() == "tpu" and _pallas_tiles(s, p) is not None
 
 
@@ -374,8 +401,10 @@ def chamfer_pairwise_blocks_pallas(points, mask, interpret=False):
     identical to exact f32)."""
     c, s, p, _ = points.shape
     tiles = _pallas_tiles(s, p)
-    if tiles is None:
-        raise ValueError(f"unsupported chamfer kernel shape S={s} P={p}")
+    if tiles is None or c * s * p > 5_242_880:
+        # the C·S·P cap bounds the packed-operand live buffers under this
+        # platform's ~500 MB worker-crash line (see chamfer_supports_pallas)
+        raise ValueError(f"unsupported chamfer kernel shape C={c} S={s} P={p}")
     ti, tj = tiles
     lhs, rhs = _pack_chamfer_operands(points, mask)
     kern = functools.partial(_chamfer_sums_kernel, p=p, ti=ti, tj=tj)
@@ -416,9 +445,7 @@ def chamfer_pairwise_blocks_gathered_pallas(points_all, mask_all, idx):
 def _gathered_pallas_dp_fn(mesh, axis_name: str):
     from jax.sharding import PartitionSpec as P
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     def body(points_all, mask_all, idx):
         return chamfer_pairwise_blocks_gathered_pallas(
@@ -434,9 +461,7 @@ def _gathered_pallas_dp_fn(mesh, axis_name: str):
 def _blocks_pallas_dp_fn(mesh, axis_name: str):
     from jax.sharding import PartitionSpec as P
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     sm = shard_map(chamfer_pairwise_blocks_pallas, mesh=mesh,
                    in_specs=(P(axis_name), P(axis_name)),

@@ -3,6 +3,7 @@ against numpy oracles mirroring the reference implementations."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ssdr_al_tpu.ops import (
     chamfer_pairwise,
@@ -219,6 +220,34 @@ class TestChamfer:
         assert rel.max() < 5e-4, rel.max()
         assert (k[off & ~(e < 1e9)] > 1e12).all()
         assert np.abs(k[:, np.arange(s), np.arange(s)]).max() == 0.0
+
+    def test_kernel_shape_gates(self):
+        """The kernel's safety gates (platform-independent parts): the
+        C·S·P footprint cap keeps the packed operands under this platform's
+        ~500 MB single-buffer worker-crash line, S % 8 rejects degenerate
+        ti=tj=1 grids (arbitrary per-round S would also Mosaic-recompile
+        every round), and P must be lane-sliceable."""
+        from ssdr_al_tpu.ops.chamfer import (
+            _pallas_tiles,
+            chamfer_supports_pallas,
+        )
+
+        assert _pallas_tiles(1024, 512) == (8, 8)
+        assert _pallas_tiles(1023, 512) is None        # S % 8
+        assert _pallas_tiles(256, 192) is None         # P % 128
+        assert _pallas_tiles(256, 2048) is None        # P cap
+        # footprint: the production 8x1024x512 dispatch passes, the next
+        # ladder rung (S=2048) must NOT (537 MB packed operands)
+        assert not chamfer_supports_pallas(2048, 512, 8)
+        assert not chamfer_supports_pallas(1024, 512, 16)
+        # the jitted entry enforces the same cap (callers that skip the
+        # supports check must not be able to crash the worker)
+        from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks_pallas
+
+        with pytest.raises(ValueError, match="unsupported"):
+            chamfer_pairwise_blocks_pallas(
+                jnp.zeros((8, 2048, 512, 3), jnp.float32),
+                jnp.zeros((8, 2048, 512), bool), True)
 
 
 # ------------------------------------------------------------------- geof ---
