@@ -433,10 +433,17 @@ def measure_selection_scale(num_rooms=200, points=4096,
                 r += 1
             results[budget] = measured
             if budget == reference_budget:
-                # same registry the last measured round loaded
+                # the last measured call was sampling(last_round=r-1): it
+                # consumed a COPY of round_dir(r-1) (begin_round copies
+                # r-1 → r before selection mutates round_r) and used
+                # round_num=r for the (round_num-1)·1000 anchor cap — so
+                # the matched reference replay reads round_dir(r-1) with
+                # round_num=r. (round_dir(r) holds the POST-selection
+                # registry: budget more clicks labeled, +1000 anchor cap —
+                # a mismatched workload.)
                 ref = measure_reference_selection(
-                    work, train, state, state.round_dir(r),
-                    budget, round_num=r + 1,
+                    work, train, state, state.round_dir(r - 1),
+                    budget, round_num=r,
                 )
         return results, total["sp_num"], ref
     finally:

@@ -716,18 +716,37 @@ class TSampler:
         cloud_ids = np.concatenate(c_parts)[sel]
         sp_sel = np.concatenate(s_parts)[sel]
         # dominant-id arena for the selected anchors, sliced from the
-        # per-cloud GT caches
-        pieces, counts = [], np.zeros(batch, np.int64)
-        for r in range(batch):
-            _, ids, offs = self._gt_dominant(names[cloud_ids[r]])
-            sp = sp_sel[r]
-            piece = ids[offs[sp]: offs[sp + 1]]
-            pieces.append(piece)
-            counts[r] = len(piece)
+        # per-cloud GT caches. Vectorized ragged gather (O(clouds) Python,
+        # not O(anchors) — the cap reaches 32k rows by round 33): per-cloud
+        # scatter of [start, end) slice bounds into row order, then one
+        # flat fancy-index into the concatenated per-cloud id arenas.
+        # Row order (= arena order) is exactly the sel order, byte-matching
+        # the per-row loop this replaces.
+        id_parts, base, pos = [], {}, 0
+        for ci, name in enumerate(names):
+            _, ids_c, _ = self._gt_dominant(name)
+            id_parts.append(ids_c)
+            base[ci] = pos
+            pos += len(ids_c)
+        global_ids = (np.concatenate(id_parts) if id_parts
+                      else np.zeros(0, np.int64))
+        starts = np.zeros(batch, np.int64)
+        ends = np.zeros(batch, np.int64)
+        for ci, name in enumerate(names):
+            m = cloud_ids == ci
+            if not m.any():
+                continue
+            _, _, offs_c = self._gt_dominant(name)
+            sps = sp_sel[m]
+            starts[m] = offs_c[sps] + base[ci]
+            ends[m] = offs_c[sps + 1] + base[ci]
+        counts = ends - starts
         offsets = np.zeros(batch + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        arena = (np.concatenate(pieces) if pieces
-                 else np.zeros(0, np.int64))
+        total_ids = int(offsets[-1])
+        rep = np.repeat(np.arange(batch), counts)
+        within = np.arange(total_ids) - np.repeat(offsets[:-1], counts)
+        arena = global_ids[starts[rep] + within]
         return RegionTable(names, cloud_ids, sp_sel,
                            np.ones(batch, bool), arena, offsets)
 

@@ -122,6 +122,16 @@ def run_al_loop(args):
         if pool is not None and not pool.available:
             log_out("device pool over budget; host pipeline", record)
             pool = None
+        if pool is not None and args.round > 2:
+            # the pool's block-sampling RNG is an equidistributed but
+            # DIFFERENT stream than TrainingPipeline's — resuming a run
+            # that trained earlier rounds on the host pipeline switches
+            # streams mid-curve; surface it so a trajectory kink isn't
+            # misread as a sampler effect
+            log_out(
+                f"resuming at round {args.round} with the device pool: "
+                "block-sampling RNG differs from the host pipeline "
+                "(pass --pool 0 to keep the original stream)", record)
     evaluate = make_evaluator(exp, mesh=trainer.mesh)
 
     sp_batch_size = args.sp_batch_size or exp.cfg.sp_batch_size

@@ -129,8 +129,16 @@ class TestExtraction:
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
         for b in range(2):
             cl = clouds[int(ids[b])]
-            assert (np.sort(np.asarray(p2[b]))
-                    == np.sort(np.asarray(p2[b]))).all()
+            # recover each extracted row's source point (same recipe as
+            # test_label_alignment) and pin BOTH updated planes to pg2
+            world = np.asarray(xyz2[b]) + picks[b][None]
+            d = np.linalg.norm(
+                world[:, None, :] - cl.xyz[None, :, :], axis=-1)
+            src = d.argmin(axis=1)
+            np.testing.assert_array_equal(np.asarray(p2[b]),
+                                          pg2[cl.name][1][src])
+            np.testing.assert_array_equal(np.asarray(a2[b]),
+                                          pg2[cl.name][0][src])
             # the new pseudo plane is actually visible
             if not np.array_equal(pg1[cl.name][1], pg2[cl.name][1]):
                 assert not np.array_equal(np.asarray(p1[b]),
