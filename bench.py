@@ -189,11 +189,12 @@ def measure_real_train_loop(batch_size: int, steps: int = 100, rooms: int = 4):
 
     xyz_s, feats_s, *_ = extract_blocks(
         *pool.device_args(), jnp.asarray(ids), jnp.asarray(picks),
-        jax.random.PRNGKey(0), cfg.num_points)
+        jax.random.PRNGKey(0), cfg.num_points, pool.window)
     state = create_train_state(
         model, cfg, jax.random.PRNGKey(0),
         {"xyz": np.asarray(xyz_s), "features": np.asarray(feats_s)}, 500)
-    step = make_pooled_train_step(model, cfg, class_weights("S3DIS"))
+    step = make_pooled_train_step(model, cfg, class_weights("S3DIS"),
+                                  window=pool.window)
     key = jax.random.PRNGKey(1)
     args = pool.device_args()
     state, m = step(state, args, ids, picks, key)  # compile

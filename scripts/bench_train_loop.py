@@ -89,7 +89,8 @@ def main():
     from ssdr_al_tpu.train.trainer import make_pooled_train_step
 
     pool = DeviceTrainPool(clouds, cfg, pseudo_gt=pseudo, seed=0)
-    pooled_step = make_pooled_train_step(model, cfg, class_weights("S3DIS"))
+    pooled_step = make_pooled_train_step(model, cfg, class_weights("S3DIS"),
+                                         window=pool.window)
 
     def run(mode):
         nonlocal state

@@ -22,12 +22,17 @@ irrelevant downstream (the model re-sorts by morton code and the loss
 averages over points; the reference shuffles only because its random
 downsampling reads array order, RandLANet.py:537-548).
 
-On-device layout: one u8 payload slab [C, n_pad, 12] (xyz as u16
+On-device layout: one RAGGED u8 payload arena [T, 12] (xyz as u16
 little-endian byte pairs 0:6, colors u8 6:9, label 9, activation 10,
-pseudo 11) so the per-block extraction is ONE row gather (12 ns per
-gathered row on this platform, width-independent). The activation/pseudo
-planes are re-uploaded per AL round and the slab re-concatenated on
-device (update_pseudo_gt).
+pseudo 11) where T = Σ per-cloud 128-padded sizes + one max-cloud slack
+window, with per-cloud row offsets — so resident bytes are proportional
+to ACTUAL points, not clouds × the largest cloud (uniform [C, n_pad, 12]
+padding inflated 200 heterogeneous rooms to clouds×max size and tripped
+the budget gate at exactly the scale the pool targets). Extraction reads
+a cloud's rows through an offset+iota index matrix — the same
+width-independent row gather (12 ns/row on this platform) as the padded
+layout. The activation/pseudo planes are re-uploaded per AL round and
+the arena re-concatenated on device (update_pseudo_gt).
 """
 
 from __future__ import annotations
@@ -60,20 +65,28 @@ def _quantize_u8(x: np.ndarray):
     return q, lo.astype(np.float32), sc.astype(np.float32)
 
 
-def extract_blocks(payload, xyz_lo, xyz_sc, col_lo, col_sc, n,
-                   cloud_ids, picks, key, num_points: int):
-    """Jit-inlineable block extraction from the device slab.
+def extract_blocks(payload, offsets, xyz_lo, xyz_sc, col_lo, col_sc, n,
+                   cloud_ids, picks, key, num_points: int, window: int):
+    """Jit-inlineable block extraction from the ragged device arena.
 
-    payload: [C, P, 12] u8 (layout in the module docstring); xyz_lo/xyz_sc/
-    col_lo/col_sc: [C, 3] f32 per-cloud dequant params; n: [C] int32 valid
-    counts; cloud_ids: [B] int32; picks: [B, 3] f32 jittered centers;
-    key: PRNG key for small-cloud duplicate upsampling.
+    payload: [T, 12] u8 ragged arena (layout in the module docstring);
+    offsets: [C] int32 per-cloud first row; xyz_lo/xyz_sc/col_lo/col_sc:
+    [C, 3] f32 per-cloud dequant params; n: [C] int32 valid counts;
+    cloud_ids: [B] int32; picks: [B, 3] f32 jittered centers; key: PRNG
+    key for small-cloud duplicate upsampling; window: static max padded
+    cloud size (pool.window) — the read width per sample. Rows past a
+    cloud's n (its own padding, or the next cloud's rows when the window
+    overruns a short segment — the arena ends with a full slack window so
+    the index matrix never leaves [0, T)) are masked inf in the distance
+    field and can never be selected.
 
     Returns (xyz [B, K, 3] f32 centered on pick, features [B, K, 6] f32,
     labels [B, K] i32, activation [B, K] f32, pseudo [B, K] i32).
     """
-    p = payload.shape[1]
-    pay = payload[cloud_ids]                                # [B, P, 12]
+    p = window
+    rows_ix = (offsets[cloud_ids][:, None]
+               + jnp.arange(p, dtype=jnp.int32)[None])     # [B, P]
+    pay = payload[rows_ix]                                  # [B, P, 12]
     # dequantize xyz for the distance field (broadcast-subtraction form is
     # exact f32 on the VPU — no distance matmul, CLAUDE.md precision note)
     b16 = pay[..., 0:6].astype(jnp.int32)
@@ -141,14 +154,29 @@ class DeviceTrainPool:
         # slab width ≥ num_points so order[:, :num_points] is a full slice
         # even when every cloud is smaller than a block
         n_raw = max(max(cl.num_points for cl in clouds), cfg.num_points)
-        n_pad = -(-n_raw // 128) * 128
+        window = -(-n_raw // 128) * 128          # static per-sample read width
+        pads = [-(-max(cl.num_points, 1) // 128) * 128 for cl in clouds]
+        t = sum(pads) + window                   # trailing slack window: the
+        #                                          [offset, offset+window)
+        #                                          read never leaves the arena
         # resident bytes: payload12 + static10 kept for per-round re-concat
-        if c * n_pad * 22 > budget_mb * 1e6:
+        # — proportional to ACTUAL points (ragged arena), not c * max size
+        if t * 22 > budget_mb * 1e6:
+            self.available = False
+            return
+        # single-buffer hard gates, independent of the user-raisable budget
+        # (this platform's TPU worker dies on >500 MB live buffers):
+        # the concatenated [T, 12] payload, and the per-step [B, window, 12]
+        # extraction gather + ~12 B/pt dequant temporaries
+        if t * 12 > 450e6 or cfg.batch_size * window * 12 > 400e6:
             self.available = False
             return
         self.available = True
-        self.n_pad = n_pad
-        static = np.zeros((c, n_pad, 10), np.uint8)
+        self.window = window
+        self.n_pad = window  # back-compat alias (possibility field width)
+        offs = np.zeros(c, np.int32)
+        offs[1:] = np.cumsum(pads[:-1])
+        static = np.zeros((t, 10), np.uint8)
         xyz_lo = np.zeros((c, 3), np.float32)
         xyz_sc = np.ones((c, 3), np.float32)
         col_lo = np.zeros((c, 3), np.float32)
@@ -157,14 +185,18 @@ class DeviceTrainPool:
         for i, cl in enumerate(clouds):
             nn = cl.num_points
             ns[i] = nn
+            o = offs[i]
             q, xyz_lo[i], xyz_sc[i] = _quantize_u16(
                 np.asarray(cl.xyz, np.float32))
-            static[i, :nn, 0:6:2] = (q & 255).astype(np.uint8)
-            static[i, :nn, 1:6:2] = (q >> 8).astype(np.uint8)
+            static[o:o + nn, 0:6:2] = (q & 255).astype(np.uint8)
+            static[o:o + nn, 1:6:2] = (q >> 8).astype(np.uint8)
             qc, col_lo[i], col_sc[i] = _quantize_u8(
                 np.asarray(cl.colors, np.float32))
-            static[i, :nn, 6:9] = qc
-            static[i, :nn, 9] = cl.labels.astype(np.uint8)
+            static[o:o + nn, 6:9] = qc
+            static[o:o + nn, 9] = cl.labels.astype(np.uint8)
+        self._pads = pads
+        self.offsets = jax.device_put(offs)
+        self._offs_np = offs
         self._static = jax.device_put(static)
         self.xyz_lo = jax.device_put(xyz_lo)
         self.xyz_sc = jax.device_put(xyz_sc)
@@ -179,17 +211,21 @@ class DeviceTrainPool:
         """Upload the round's activation/pseudo planes (2 B/point) and
         re-concatenate the 12-wide payload slab on device. pseudo_gt=None
         means fully-supervised (activation 1, pseudo = labels)."""
-        c, n_pad = self._static.shape[:2]
-        dyn = np.zeros((c, n_pad, 2), np.uint8)
+        t = self._static.shape[0]
+        # bump the slab version: replicated_args re-broadcasts only when
+        # the payload actually changed
+        self._version = getattr(self, "_version", 0) + 1
+        dyn = np.zeros((t, 2), np.uint8)
         for i, cl in enumerate(self.clouds):
             nn = cl.num_points
+            o = self._offs_np[i]
             if pseudo_gt is None:
-                dyn[i, :nn, 0] = 1
-                dyn[i, :nn, 1] = cl.labels.astype(np.uint8)
+                dyn[o:o + nn, 0] = 1
+                dyn[o:o + nn, 1] = cl.labels.astype(np.uint8)
             else:
                 gt = pseudo_gt[cl.name]
-                dyn[i, :nn, 0] = gt[0].astype(np.uint8)
-                dyn[i, :nn, 1] = gt[1].astype(np.uint8)
+                dyn[o:o + nn, 0] = gt[0].astype(np.uint8)
+                dyn[o:o + nn, 1] = gt[1].astype(np.uint8)
         self.payload = _concat_payload(self._static, jax.device_put(dyn))
 
     # ------------------------------------------------------------- steps ---
@@ -222,8 +258,22 @@ class DeviceTrainPool:
         return ids, picks
 
     def device_args(self):
-        return (self.payload, self.xyz_lo, self.xyz_sc,
+        return (self.payload, self.offsets, self.xyz_lo, self.xyz_sc,
                 self.col_lo, self.col_sc, self.n)
+
+    def replicated_args(self, mesh):
+        """device_args replicated over a dp mesh, cached: the slab is
+        static across a round (update_pseudo_gt invalidates), so the
+        broadcast must happen once per slab version — not per epoch (the
+        slab is budget-sized, ~hundreds of MB)."""
+        key = (id(mesh), self._version)
+        if getattr(self, "_repl_cache_key", None) != key:
+            from ssdr_al_tpu.parallel.mesh import replicated_sharding
+
+            self._repl_cache = jax.device_put(
+                self.device_args(), replicated_sharding(mesh))
+            self._repl_cache_key = key
+        return self._repl_cache
 
     # ------------------------------------------------------------ oracle ---
     def extract_host(self, cloud_ids, picks):

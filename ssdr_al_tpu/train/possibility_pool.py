@@ -53,7 +53,6 @@ class PossibilityDevicePool(DeviceTrainPool):
         if not self.available:
             return
         self.augment = augment
-        c, n_pad = len(clouds), self.n_pad
         # class frequency weights over ALL training clouds
         # (semantic3d_dataset_train.py:52-56)
         all_labels = np.hstack([cl.labels for cl in clouds])
@@ -61,29 +60,40 @@ class PossibilityDevicePool(DeviceTrainPool):
                              minlength=cfg.num_classes).astype(np.float64)
         self.class_weight = jax.device_put(
             (counts / counts.sum()).astype(np.float32))
-        # possibility init: U[0, 1e-3) per point; padding rows +inf so they
-        # never win an argmin (semantic3d_dataset_train.py:141)
-        self._n_pad_poss = n_pad
+        # ragged segment-id map for the per-cloud possibility min (slack /
+        # padding slots carry +inf possibility so their segment assignment
+        # never matters; use segment 0)
+        t = self._static.shape[0]
+        seg = np.zeros(t, np.int32)
+        for i, pad in enumerate(self._pads):
+            o = self._offs_np[i]
+            seg[o:o + self.clouds[i].num_points] = i
+        self.poss_seg = jax.device_put(seg)
         self._poss_state = None
         self.reset_possibility(seed)
+
+    def device_args(self):
+        # possibility_extract takes the base tuple + the segment-id map
+        return super().device_args() + (self.poss_seg,)
 
     def reset_possibility(self, seed: int):
         """Fresh U[0, 1e-3) possibility field (the host pipeline constructs
         a new PossibilityTrainingPipeline — and thus a fresh field — per AL
-        round)."""
+        round). Ragged flat [T] f32, +inf on padding/slack slots so they
+        never win an argmin (semantic3d_dataset_train.py:141)."""
         rng = np.random.RandomState(seed)
-        poss = np.full((len(self.clouds), self._n_pad_poss), np.inf,
-                       np.float32)
+        poss = np.full(self._static.shape[0], np.inf, np.float32)
         for i, cl in enumerate(self.clouds):
-            poss[i, : cl.num_points] = rng.rand(cl.num_points) * 1e-3
+            o = self._offs_np[i]
+            poss[o:o + cl.num_points] = rng.rand(cl.num_points) * 1e-3
         self.init_possibility = jax.device_put(poss)
         self._poss_state = None
 
 
-def possibility_extract(payload, xyz_lo, xyz_sc, col_lo, col_sc, n,
-                        class_weight, poss, key, batch_size: int,
+def possibility_extract(payload, offsets, xyz_lo, xyz_sc, col_lo, col_sc, n,
+                        poss_seg, class_weight, poss, key, batch_size: int,
                         num_points: int, noise_sigma: float,
-                        augment: bool = True):
+                        window: int, augment: bool = True):
     """Jit-inlineable batch assembly + possibility update.
 
     Returns (new_poss, xyz [B,K,3], features [B,K,6], labels, activation,
@@ -92,19 +102,25 @@ def possibility_extract(payload, xyz_lo, xyz_sc, col_lo, col_sc, n,
     argmin-cloud → argmin-point → KNN-block → scatter-add chain; the
     payload row gather for all B blocks happens once, batched, after the
     scan (only labels are gathered inside it, for the class-weighted
-    delta)."""
-    c, n_pad = poss.shape
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-    valid_mask = iota[None, :] < n[:, None]                    # [C, P]
+    delta). Ragged layout: payload [T, 12] + offsets [C] (device_pool
+    module docstring), poss [T] f32 with +inf on pad/slack slots,
+    poss_seg [T] i32 cloud ids for the per-cloud min, window = static max
+    padded cloud size (each scan step reads one [window, 12] slice)."""
+    c = n.shape[0]
+    iota = jnp.arange(window, dtype=jnp.int32)
 
     def body(carry, k_):
         poss_c = carry
-        # least-visited point of the least-visited cloud
-        per_cloud_min = jnp.min(poss_c, axis=1)                # [C]
+        # least-visited point of the least-visited cloud (pad/slack slots
+        # are +inf and never win; their segment id is irrelevant)
+        per_cloud_min = jax.ops.segment_min(
+            poss_c, poss_seg, num_segments=c)                  # [C]
         ci = jnp.argmin(per_cloud_min).astype(jnp.int32)
-        row_poss = poss_c[ci]                                  # [P]
+        o = offsets[ci]
+        row_poss = jax.lax.dynamic_slice(poss_c, (o,), (window,))
         pi = jnp.argmin(row_poss).astype(jnp.int32)
-        pay_c = payload[ci]                                    # [P, 12]
+        pay_c = jax.lax.dynamic_slice(
+            payload, (o, 0), (window, 12))                     # [P, 12]
         b16 = pay_c[:, 0:6].astype(jnp.int32)
         q = b16[:, 0::2] + 256 * b16[:, 1::2]
         xyz_c = xyz_lo[ci][None] + q.astype(jnp.float32) * xyz_sc[ci][None]
@@ -129,15 +145,16 @@ def possibility_extract(payload, xyz_lo, xyz_sc, col_lo, col_sc, n,
         lab_blk = jnp.take(pay_c[:, 9].astype(jnp.int32), idx)
         delta = jnp.square(1.0 - d2_blk / dmax) * class_weight[lab_blk]
         delta = jnp.where(in_block, delta, 0.0)
-        poss_c = poss_c.at[ci, idx].add(delta)
+        poss_c = poss_c.at[o + idx].add(delta)
         return poss_c, (ci, idx, pick)
 
     keys = jax.random.split(jax.random.fold_in(key, 0), batch_size)
     new_poss, (cis, idxs, picks) = jax.lax.scan(body, poss, keys)
 
-    # batched payload gather for all B blocks (one row gather)
-    pay = payload[cis]                                         # [B, P, 12]
-    rows = jnp.take_along_axis(pay, idxs[..., None], axis=1)   # [B, K, 12]
+    # batched payload gather for all B blocks: within-cloud indices become
+    # global arena rows — B·K rows, not B·window (cheaper than the padded
+    # layout's full-cloud gather)
+    rows = payload[offsets[cis][:, None] + idxs]               # [B, K, 12]
     rb16 = rows[..., 0:6].astype(jnp.int32)
     rq = rb16[..., 0::2] + 256 * rb16[..., 1::2]
     world = (xyz_lo[cis][:, None]

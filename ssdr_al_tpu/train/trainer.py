@@ -149,12 +149,14 @@ def make_train_step(model: RandLANet, cfg: Config,
 
 
 def make_pooled_train_step(model: RandLANet, cfg: Config,
-                           weights: np.ndarray, knn_engine: str = "window"):
+                           weights: np.ndarray, knn_engine: str = "window",
+                           window: int = 0):
     """Train step over a DeviceTrainPool: block extraction (distance sort +
     one payload row gather, train/device_pool.py) runs INSIDE the jit, so a
     fresh-blocks step transfers only [B] cloud ids + [B, 3] pick points —
     the host pipeline's 18 B/point upload (which serializes with device
-    compute on this platform) disappears from the loop."""
+    compute on this platform) disappears from the loop. window = the
+    pool's static per-sample read width (pool.window)."""
     table = (
         label_reduce_table(cfg.num_classes, cfg.ignored_label_inds)
         if cfg.ignored_label_inds else None
@@ -166,7 +168,7 @@ def make_pooled_train_step(model: RandLANet, cfg: Config,
         key = jax.random.fold_in(rng, state.step)
         ext_key, dropout_rng = jax.random.split(key)
         xyz, features, labels, activation, pseudo = extract_blocks(
-            *pool_args, cloud_ids, picks, ext_key, cfg.num_points)
+            *pool_args, cloud_ids, picks, ext_key, cfg.num_points, window)
         return _step_body(model, cfg, weights, table, knn_engine, state,
                           xyz, features, labels, activation, pseudo,
                           dropout_rng)
@@ -177,7 +179,8 @@ def make_pooled_train_step(model: RandLANet, cfg: Config,
 def make_possibility_pooled_train_step(model: RandLANet, cfg: Config,
                                        weights: np.ndarray,
                                        knn_engine: str = "window",
-                                       augment: bool = True):
+                                       augment: bool = True,
+                                       window: int = 0):
     """Train step over a PossibilityDevicePool (the Semantic3D train2
     path): the sequential possibility-scheduled batch assembly AND the
     training step run as one jit; the possibility field threads through as
@@ -198,7 +201,7 @@ def make_possibility_pooled_train_step(model: RandLANet, cfg: Config,
         new_poss, xyz, features, labels, activation, pseudo = (
             possibility_extract(
                 *pool_args, class_weight, poss, ext_key, batch_size,
-                cfg.num_points, sigma, augment))
+                cfg.num_points, sigma, window, augment))
         state, metrics = _step_body(
             model, cfg, weights, table, knn_engine, state,
             xyz, features, labels, activation, pseudo, dropout_rng)
@@ -405,7 +408,7 @@ class Trainer:
         self.weights = get_class_weights(dataset_name)
         self.steps_per_epoch = steps_per_epoch or cfg.train_steps
         self.train_step = make_train_step(self.model, cfg, self.weights, knn_engine)
-        self._pooled_step = None  # built lazily by train_round(device_pool=)
+        self._pooled_steps = {}  # (pool_kind, augment) -> compiled step
         self._knn_engine = knn_engine
         # sorted outputs: on TPU the eval forward skips the two [B,N]-row
         # head unsort gathers; InferenceRunner/Evaluator permute host index
@@ -472,14 +475,25 @@ class Trainer:
             # scan can't shard the batch axis; dp keeps the host pipeline
             if poss_pool and self.mesh is not None:
                 use_pool = False
-        if use_pool and self._pooled_step is None:
-            if poss_pool:
-                self._pooled_step = make_possibility_pooled_train_step(
-                    self.model, cfg, self.weights, self._knn_engine,
-                    augment=device_pool.augment)
-            else:
-                self._pooled_step = make_pooled_train_step(
-                    self.model, cfg, self.weights, self._knn_engine)
+        if use_pool:
+            # key the compiled-step cache on pool type + augment: a later
+            # round can swap pool kinds (S3DIS vs possibility) and the two
+            # steps have different signatures
+            step_key = (poss_pool,
+                        device_pool.augment if poss_pool else None,
+                        device_pool.window)
+            if self._pooled_steps.get(step_key) is None:
+                if poss_pool:
+                    self._pooled_steps[step_key] = (
+                        make_possibility_pooled_train_step(
+                            self.model, cfg, self.weights, self._knn_engine,
+                            augment=device_pool.augment,
+                            window=device_pool.window))
+                else:
+                    self._pooled_steps[step_key] = make_pooled_train_step(
+                        self.model, cfg, self.weights, self._knn_engine,
+                        window=device_pool.window)
+            pooled_step = self._pooled_steps[step_key]
 
         if self.mesh is not None:
             # data parallelism: replicate params, shard the batch axis —
@@ -488,45 +502,54 @@ class Trainer:
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
 
+        # pool operands are static within a round (update_pseudo_gt bumps
+        # the slab version between rounds) — fetch/replicate ONCE, not per
+        # epoch: the dp broadcast of a budget-sized slab is hundreds of MB
+        pool_args = None
+        bsz = batch_size or cfg.batch_size
+        put = lambda x: x  # noqa: E731
+        if use_pool:
+            if not poss_pool and self.mesh is not None:
+                # dp pooled training: slab replicated (cached on the pool
+                # per slab version), per-step ids and picks sharded on the
+                # batch axis — GSPMD partitions the extraction (gathers are
+                # shard-local against the replicated slab) and inserts the
+                # gradient psum
+                from ssdr_al_tpu.parallel.mesh import batch_sharding
+
+                pool_args = device_pool.replicated_args(self.mesh)
+                m = int(self.mesh.devices.size)
+                if bsz % m:
+                    new_bsz = max(1, bsz // m) * m
+                    self.log(
+                        f"dp pooled training: batch {bsz} not divisible by "
+                        f"mesh size {m} — rounding to {new_bsz}")
+                    bsz = new_bsz
+                sh = batch_sharding(self.mesh)
+                put = lambda x: jax.device_put(x, sh)  # noqa: E731
+            else:
+                pool_args = device_pool.device_args()
+
         for epoch in range(max_epoch):
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
             if use_pool and poss_pool:
-                args = device_pool.device_args()
                 poss = getattr(device_pool, "_poss_state", None)
                 if poss is None:
                     poss = device_pool.init_possibility
                 for _ in range(self.steps_per_epoch):
-                    state, poss, metrics = self._pooled_step(
-                        state, args, device_pool.class_weight, poss,
+                    state, poss, metrics = pooled_step(
+                        state, pool_args, device_pool.class_weight, poss,
                         step_rng)
                     losses.append(metrics["loss"])
                     accs.append(metrics["accuracy"])
                 device_pool._poss_state = poss
                 batch_iter = ()
             elif use_pool:
-                bsz = batch_size or cfg.batch_size
-                args = device_pool.device_args()
-                put = lambda x: x  # noqa: E731
-                if self.mesh is not None:
-                    # dp pooled training: slab replicated, per-step ids and
-                    # picks sharded on the batch axis — GSPMD partitions the
-                    # extraction (gathers are shard-local against the
-                    # replicated slab) and inserts the gradient psum
-                    from ssdr_al_tpu.parallel.mesh import (
-                        batch_sharding,
-                        replicated_sharding,
-                    )
-
-                    args = jax.device_put(args, replicated_sharding(self.mesh))
-                    m = int(self.mesh.devices.size)
-                    bsz = max(1, bsz // m) * m
-                    sh = batch_sharding(self.mesh)
-                    put = lambda x: jax.device_put(x, sh)  # noqa: E731
                 for _ in range(self.steps_per_epoch):
                     ids, picks = device_pool.sample_indices(bsz)
-                    state, metrics = self._pooled_step(
-                        state, args, put(ids), put(picks), step_rng)
+                    state, metrics = pooled_step(
+                        state, pool_args, put(ids), put(picks), step_rng)
                     losses.append(metrics["loss"])
                     accs.append(metrics["accuracy"])
                 batch_iter = ()

@@ -48,7 +48,7 @@ def run_extract(pool, ids, picks, key=None):
     key = key if key is not None else jax.random.PRNGKey(0)
     return extract_blocks(
         *pool.device_args(), jnp.asarray(ids), jnp.asarray(picks),
-        key, pool.cfg.num_points)
+        key, pool.cfg.num_points, pool.window)
 
 
 class TestExtraction:
@@ -149,6 +149,37 @@ class TestExtraction:
         pool = DeviceTrainPool(clouds, TINY, budget_mb=0.001)
         assert not pool.available
 
+    def test_ragged_arena_heterogeneous_sizes(self, rng):
+        """Resident bytes are proportional to ACTUAL points: one big cloud
+        among many small ones must not multiply the footprint by
+        clouds × max size (the uniform-padding layout did, silently
+        disabling the pool at heterogeneous scale), and extraction from
+        both ends of the arena must stay oracle-exact."""
+        clouds = [Cloud(name="big",
+                        xyz=(rng.rand(5000, 3) * 8).astype(np.float32),
+                        colors=rng.rand(5000, 3).astype(np.float32),
+                        labels=rng.randint(0, 3, 5000).astype(np.int32))]
+        for i in range(9):
+            n = 600 + 37 * i
+            clouds.append(Cloud(
+                name=f"s{i}", xyz=(rng.rand(n, 3) * 8).astype(np.float32),
+                colors=rng.rand(n, 3).astype(np.float32),
+                labels=rng.randint(0, 3, n).astype(np.int32)))
+        # ragged: (5120 + Σ small pads + slack 5120) * 22 B ≈ 0.37 MB;
+        # uniform padding would need 10 * 5120 * 22 ≈ 1.1 MB
+        pool = DeviceTrainPool(clouds, TINY, seed=0, budget_mb=0.5)
+        assert pool.available
+        ids = np.array([0, 9, 5, 0], np.int32)  # big, last, middle, big
+        picks = np.stack([clouds[int(i)].xyz[0] for i in ids]).astype(
+            np.float32)
+        _, _, labels, _, _ = run_extract(pool, ids, picks)
+        expect = pool.extract_host(ids, picks)
+        for b in range(len(ids)):
+            cl = clouds[int(ids[b])]
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(labels[b])),
+                np.sort(cl.labels[expect[b]]))
+
 
 class TestPooledStep:
     def test_pooled_step_learns_color_rule(self, rng):
@@ -174,7 +205,8 @@ class TestPooledStep:
             steps_per_epoch=100,
         )
         step = make_pooled_train_step(
-            model, TINY, np.ones(3, np.float32), knn_engine="xla")
+            model, TINY, np.ones(3, np.float32), knn_engine="xla",
+            window=pool.window)
         key = jax.random.PRNGKey(1)
         losses = []
         args = pool.device_args()

@@ -41,7 +41,7 @@ def make_clouds(rng, n_clouds=2, n=300):
 def run_extract(pool, poss, key, batch_size=2, augment=False):
     return possibility_extract(
         *pool.device_args(), pool.class_weight, poss, key, batch_size,
-        pool.cfg.num_points, pool.cfg.noise_init / 10, augment)
+        pool.cfg.num_points, pool.cfg.noise_init / 10, pool.window, augment)
 
 
 class TestPossibilitySchedule:
@@ -60,14 +60,18 @@ class TestPossibilitySchedule:
         new_poss = np.asarray(new_poss)
 
         # numpy oracle over the same quantized coordinates + tiny jitter
-        # (noise_init=1e-6 ⇒ picks == centers up to ~1e-7)
+        # (noise_init=1e-6 ⇒ picks == centers up to ~1e-7), on the ragged
+        # flat field: per-cloud segments live at pool's row offsets
         exp = poss0.copy()
         cw = np.asarray(pool.class_weight)
+        offs = pool._offs_np
         for _ in range(2):
-            ci = int(np.nanmin(exp, axis=1).argmin() if False
-                     else np.argmin(exp.min(axis=1)))
-            pi = int(np.argmin(exp[ci]))
+            mins = [exp[offs[i]: offs[i] + c.num_points].min()
+                    for i, c in enumerate(clouds)]
+            ci = int(np.argmin(mins))
             cl = clouds[ci]
+            seg = exp[offs[ci]: offs[ci] + cl.num_points]
+            pi = int(np.argmin(seg))
             from ssdr_al_tpu.train.device_pool import _quantize_u16
 
             q, lo, sc = _quantize_u16(cl.xyz)
@@ -75,7 +79,7 @@ class TestPossibilitySchedule:
             pick = deq[pi]
             d2 = np.sum((deq - pick[None]) ** 2, axis=1)
             delta = np.square(1 - d2 / d2.max()) * cw[cl.labels]
-            exp[ci, : cl.num_points] += delta
+            exp[offs[ci]: offs[ci] + cl.num_points] += delta
         # same cells were touched (delta magnitude may differ at 1e-6 level
         # from the pick jitter): compare the update masks and values
         np.testing.assert_allclose(new_poss[np.isfinite(new_poss)],
@@ -136,7 +140,7 @@ class TestPossibilityPooledStep:
             steps_per_epoch=100)
         step = make_possibility_pooled_train_step(
             model, TINY, np.ones(3, np.float32), knn_engine="xla",
-            augment=False)
+            augment=False, window=pool.window)
         key = jax.random.PRNGKey(1)
         args = pool.device_args()
         losses = []

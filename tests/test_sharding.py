@@ -396,13 +396,14 @@ def test_pooled_train_step_dp_matches_single_device(rng):
 
     xyz_s, feats_s, *_ = extract_blocks(
         *pool.device_args(), jnp.asarray(ids), jnp.asarray(picks),
-        jax.random.PRNGKey(0), cfg.num_points)
+        jax.random.PRNGKey(0), cfg.num_points, pool.window)
     state = create_train_state(
         model, cfg, jax.random.PRNGKey(0),
         {"xyz": np.asarray(xyz_s), "features": np.asarray(feats_s)},
         steps_per_epoch=10)
     step = make_pooled_train_step(model, cfg, np.ones(cfg.num_classes,
-                                                      np.float32), "xla")
+                                                      np.float32), "xla",
+                                  window=pool.window)
     key = jax.random.PRNGKey(1)
     args = pool.device_args()
     _, m_single = step(state, args, jnp.asarray(ids), jnp.asarray(picks), key)
