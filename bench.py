@@ -208,6 +208,138 @@ def measure_real_train_loop(batch_size: int, steps: int = 100, rooms: int = 4):
     return batch_size * cfg.num_points / dt
 
 
+def roofline_accounting(fwd_pps: float, train_pps: float):
+    """Hardware-anchored utilization for the headline numbers (VERDICT r4
+    #6): without a denominator, nobody can tell whether 4.3 M pts/s is 10%
+    or 60% of what this chip can do.
+
+    Ceilings are MEASURED on this device, not quoted from a datasheet —
+    the axon tunnel's effective HBM bandwidth sits far below spec
+    (CLAUDE.md), so spec sheets would overstate the denominator:
+      - mxu_ceiling: chained 4096x4096x4096 bf16 matmuls, f32 accumulate
+        (the model's own dot dtype) -> FLOP/s.
+      - hbm_ceiling: chained 2-read/1-write f32 adds over 64 MB arrays
+        -> bytes/s.
+    Program costs come from XLA's own cost model (compiled.cost_analysis())
+    for the EXACT programs the bench times: the B=6 bf16 block forward
+    (measure_tpu) and the B=6 train step (measure_train_step).
+    utilization = (cost/point x measured points/s) / ceiling."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssdr_al_tpu.config import ConfigS3DIS, class_weights, get_config
+    from ssdr_al_tpu.models.randlanet import RandLANet, build_pyramid
+    from ssdr_al_tpu.train.trainer import create_train_state, make_train_step
+
+    # --- measured ceilings -------------------------------------------------
+    m = 4096
+    reps = 16
+    w = (np.random.RandomState(0).randn(m, m) / np.sqrt(m)).astype(np.float32)
+    w_d = jnp.asarray(w, jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(x):
+        def body(c, _):
+            y = jax.lax.dot_general(
+                c, w_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y.astype(jnp.bfloat16), ()
+        c, _ = jax.lax.scan(body, x, None, length=reps)
+        return c
+
+    x0 = jnp.asarray(np.eye(m, dtype=np.float32), jnp.bfloat16)
+    _sync(mm_chain(x0))  # compile
+    t0 = time.perf_counter()
+    _sync(mm_chain(x0))
+    mxu_ceiling = 2.0 * m * m * m * reps / (time.perf_counter() - t0)
+
+    n_el = 16 * 1024 * 1024  # 64 MB per f32 array; live set stays ~200 MB
+    a0 = jnp.zeros((n_el,), jnp.float32)
+    b0 = jnp.full((n_el,), 1e-9, jnp.float32)
+
+    @jax.jit
+    def add_chain(a):
+        def body(c, _):
+            return c + b0, ()
+        c, _ = jax.lax.scan(body, a, None, length=reps)
+        return c
+
+    _sync(add_chain(a0))  # compile
+    t0 = time.perf_counter()
+    _sync(add_chain(a0))
+    hbm_ceiling = 3.0 * 4 * n_el * reps / (time.perf_counter() - t0)
+
+    # --- XLA cost model of the measured programs ---------------------------
+    def _cost(lowered_compiled):
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0))) if ca else (0.0, 0.0)
+
+    b = 6
+    cfg = dataclasses.replace(get_config("S3DIS"), compute_dtype="bfloat16")
+    model = RandLANet(cfg)
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray((rng.rand(b, cfg.num_points, 3) * 10), jnp.float32)
+    feats = jnp.concatenate(
+        [xyz, jnp.asarray(rng.rand(b, cfg.num_points, 3), jnp.float32)], -1)
+    variables = jax.jit(lambda k, x, f: model.init(
+        {"params": k}, f, build_pyramid(x, cfg), False))(
+            jax.random.PRNGKey(0), xyz, feats)
+
+    def fwd(x, f):
+        return model.apply(variables, f, build_pyramid(x, cfg), False,
+                           unsort=False)[0]
+
+    f_flops, f_bytes = _cost(jax.jit(fwd).lower(xyz, feats).compile())
+
+    cfg_t = ConfigS3DIS
+    model_t = RandLANet(cfg_t)
+    batch = {
+        "xyz": np.asarray(xyz, np.float32),
+        "features": rng.rand(b, cfg_t.num_points, 6).astype(np.float32),
+        "labels": rng.randint(0, cfg_t.num_classes, (b, cfg_t.num_points)
+                              ).astype(np.int32),
+        "activation": np.ones((b, cfg_t.num_points), np.float32),
+        "pseudo": rng.randint(0, cfg_t.num_classes, (b, cfg_t.num_points)
+                              ).astype(np.int32),
+    }
+    tstate = create_train_state(
+        model_t, cfg_t, jax.random.PRNGKey(0),
+        {"xyz": batch["xyz"], "features": batch["features"]}, 500)
+    tstep = make_train_step(model_t, cfg_t, class_weights("S3DIS"))
+    batch_d = {k: jnp.asarray(v) for k, v in batch.items()}
+    t_flops, t_bytes = _cost(
+        tstep.lower(tstate, batch_d, jax.random.PRNGKey(1)).compile())
+
+    pts = float(b * cfg.num_points)
+    out = {
+        "mxu_ceiling_measured_tflops": round(mxu_ceiling / 1e12, 2),
+        "hbm_ceiling_measured_gbps": round(hbm_ceiling / 1e9, 1),
+        "ceilings_note": ("measured on-device: chained bf16 4096^3 matmuls "
+                          "(f32 acc) / chained 2r1w f32 adds — NOT datasheet"),
+        "forward_flops_per_point": round(f_flops / pts, 1),
+        "forward_hbm_bytes_per_point": round(f_bytes / pts, 1),
+        "train_step_flops_per_point": round(t_flops / pts, 1),
+        "train_step_hbm_bytes_per_point": round(t_bytes / pts, 1),
+        "cost_model": "XLA compiled.cost_analysis() of the measured programs",
+    }
+    if f_flops and mxu_ceiling:
+        out["forward_pct_of_mxu_peak"] = round(
+            100.0 * f_flops / pts * fwd_pps / mxu_ceiling, 1)
+        out["forward_pct_of_hbm_peak"] = round(
+            100.0 * f_bytes / pts * fwd_pps / hbm_ceiling, 1)
+    if t_flops and mxu_ceiling:
+        out["train_step_pct_of_mxu_peak"] = round(
+            100.0 * t_flops / pts * train_pps / mxu_ceiling, 1)
+        out["train_step_pct_of_hbm_peak"] = round(
+            100.0 * t_bytes / pts * train_pps / hbm_ceiling, 1)
+    return out
+
+
 def measure_window_recall(n: int = 40960, k: int = 16):
     """Recall of the window KNN engine vs exact XLA KNN on one block
     (regression gate for the Pallas/window kernel, VERDICT round-1 #7).
@@ -474,10 +606,17 @@ def measure_selection_gcn(num_rooms=200, points=4096, budget=10000,
         sampler, eval_step, mstate = _make_selection_sampler(train, state, total)
         sampler.args = dataclasses.replace(sampler.args, diversity="gcn")
         # warm round compiles the GCN fit for this graph rung, then measure
+        # 3 rounds and report all of them — single-shot numbers on this
+        # platform carry compile-state spread (VERDICT r4 weak #4; CLAUDE.md:
+        # measure >=3 rounds, report the median)
         sampler.sampling(eval_step, mstate, budget, 1, RoundStats())
-        t0 = time.perf_counter()
-        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
-        return time.perf_counter() - t0, dict(sampler.phase_times)
+        measured = []
+        for r in range(2, 5):
+            t0 = time.perf_counter()
+            sampler.sampling(eval_step, mstate, budget, r, RoundStats())
+            measured.append((time.perf_counter() - t0,
+                             dict(sampler.phase_times)))
+        return measured
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -536,10 +675,15 @@ def measure_semantic3d_selection(num_clouds=8, points=1_000_000,
             total["sp_num"],
         )
         sampler.sampling(eval_step, mstate, budget, 1, RoundStats())  # warm
-        t0 = time.perf_counter()
-        sampler.sampling(eval_step, mstate, budget, 2, RoundStats())
-        return (time.perf_counter() - t0, dict(sampler.phase_times),
-                total["sp_num"])
+        # 3 measured rounds (median is steady state; spread is one-time
+        # ladder-rung compiles as the anchor cap grows — VERDICT r4 #3)
+        measured = []
+        for r in range(2, 5):
+            t0 = time.perf_counter()
+            sampler.sampling(eval_step, mstate, budget, r, RoundStats())
+            measured.append((time.perf_counter() - t0,
+                             dict(sampler.phase_times)))
+        return measured, total["sp_num"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -905,18 +1049,29 @@ def main():
             extras["reference_numpy_10000clicks_source"] = ref10k.get(
                 "command", "results/ref_selection_10000clicks.json")
         # the trainable-GCN branch (coreGCN, the reference's headline SSDR
-        # GCN variant) at the same 200-cloud scale
+        # GCN variant) at the same 200-cloud scale; 3 measured rounds
         try:
-            gcn_dt, gcn_phases = measure_selection_gcn()
-            extras["al_selection_round_200cloud_gcn_s"] = round(gcn_dt, 2)
+            gcn_rounds = measure_selection_gcn()
+            gcn_t = [d for d, _ in gcn_rounds]
+            gcn_med = _median(gcn_t)
+            gcn_phases = gcn_rounds[gcn_t.index(gcn_med)][1]
+            extras["al_selection_round_200cloud_gcn_s"] = round(gcn_med, 2)
+            extras["al_selection_round_200cloud_gcn_rounds_s"] = [
+                round(d, 2) for d in gcn_t]
             extras["al_selection_round_200cloud_gcn_fit_s"] = round(
                 gcn_phases.get("div_gcn_s", -1.0), 2)
         except Exception as e:  # keep the bench line printable
             extras["al_selection_round_200cloud_gcn_s"] = f"FAILED: {e}"
-        # Semantic3D-scale selection: big clouds through the chunked path
+        # Semantic3D-scale selection: big clouds through the chunked path;
+        # 3 measured rounds (median = steady state)
         try:
-            s3_dt, s3_phases, s3_sp = measure_semantic3d_selection()
-            extras["semantic3d_selection_round_s"] = round(s3_dt, 2)
+            s3_rounds, s3_sp = measure_semantic3d_selection()
+            s3_t = [d for d, _ in s3_rounds]
+            s3_med = _median(s3_t)
+            s3_phases = s3_rounds[s3_t.index(s3_med)][1]
+            extras["semantic3d_selection_round_s"] = round(s3_med, 2)
+            extras["semantic3d_selection_round_rounds_s"] = [
+                round(d, 2) for d in s3_t]
             extras["semantic3d_selection_round_workload"] = (
                 f"8 clouds x 1M pts, {s3_sp} superpoints, 3000 clicks, "
                 "65536-pt chunks")
@@ -932,14 +1087,54 @@ def main():
                 if n_pal else "exact_vpu")
         except Exception as e:
             extras["semantic3d_selection_round_s"] = f"FAILED: {e}"
-    result = {
+    # roofline accounting: anchor the headline number to the hardware, not
+    # only to the reference (VERDICT r4 #6)
+    try:
+        extras["roofline"] = roofline_accounting(tpu_pps, train_pps)
+    except Exception as e:
+        extras["roofline"] = f"FAILED: {e}"
+
+    # --- output protocol (VERDICT r4 #1) -----------------------------------
+    # The driver captures a bounded tail of stdout and parses the LAST line:
+    # round 4's single fat line outgrew that window and the headline number
+    # vanished from the official record (BENCH_r04.json parsed=null). The
+    # full extras now live in results/bench_full.json; the printed line
+    # carries the headline metric plus a dozen key scalars and stays small.
+    full = {
         "metric": "s3dis_block_pipeline_points_per_sec_per_chip",
         "value": round(tpu_pps, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(tpu_pps / host_6w, 2),
         "extras": extras,
     }
-    print(json.dumps(result))
+    import os as _os
+
+    full_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "results",
+        "bench_full.json")
+    _os.makedirs(_os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    key_scalars = [
+        "tpu_gate_suite",
+        "semantic3d_block_pipeline_points_per_sec_per_chip",
+        "train_step_real_loop_points_per_sec",
+        "al_selection_round_200cloud_s",
+        "selection_speedup_vs_reference_numpy_10000clicks",
+        "al_selection_round_200cloud_2000clicks_s",
+        "selection_speedup_vs_reference_numpy_200cloud",
+        "semantic3d_selection_round_s",
+        "semantic3d_selection_chamfer_engine",
+        "al_selection_round_200cloud_gcn_s",
+        "knn_window_recall_at_16",
+    ]
+    compact_extras = {k: extras[k] for k in key_scalars if k in extras}
+    compact_extras["full"] = "results/bench_full.json"
+    result = dict(full, extras=compact_extras)
+    line = json.dumps(result)
+    assert len(line) < 1500, f"bench line grew to {len(line)} B — trim it"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -52,7 +52,11 @@ _G_CHUNK = 8
 def mxu_default() -> bool:
     env = os.environ.get("SSDR_CHAMFER_MXU")
     if env is not None:
-        return env == "1"
+        truthy = env.lower() in ("1", "true", "on", "yes")
+        if not truthy and env.lower() not in ("0", "false", "off", "no", ""):
+            raise ValueError(
+                f"SSDR_CHAMFER_MXU={env!r}: use 1/true/on or 0/false/off")
+        return truthy
     import jax
 
     return jax.default_backend() == "tpu"

@@ -113,6 +113,13 @@ def run_al_loop(args):
 
                 pool = PossibilityDevicePool(exp.train_clouds, exp.cfg,
                                              seed=args.t)
+            else:
+                # surface the silent fallback (ADVICE r4): dp vs single
+                # Semantic3D runs would otherwise differ in training-data
+                # stream (pool RNG vs host pipeline RNG) with no trace
+                log_out(
+                    "possibility pool is single-device only; host "
+                    "pipeline under dp", record)
         else:
             # dp-compatible: trainer replicates the slab and shards the
             # per-step ids/picks over the mesh

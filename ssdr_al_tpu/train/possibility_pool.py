@@ -112,12 +112,18 @@ def possibility_extract(payload, offsets, xyz_lo, xyz_sc, col_lo, col_sc, n,
     def body(carry, k_):
         poss_c = carry
         # least-visited point of the least-visited cloud (pad/slack slots
-        # are +inf and never win; their segment id is irrelevant)
+        # are +inf in the field and never win the segment min)
         per_cloud_min = jax.ops.segment_min(
             poss_c, poss_seg, num_segments=c)                  # [C]
         ci = jnp.argmin(per_cloud_min).astype(jnp.int32)
         o = offsets[ci]
         row_poss = jax.lax.dynamic_slice(poss_c, (o,), (window,))
+        # a short cloud's [window] slice overruns its padded segment into
+        # the NEXT cloud's finite values — mask beyond n[ci] so the argmin
+        # stays in-cloud even if cloud choice ever becomes stochastic
+        # (today ci is the exact global argmin, so overrun values can't be
+        # smaller, but don't rely on the tie-break)
+        row_poss = jnp.where(iota < n[ci], row_poss, jnp.inf)
         pi = jnp.argmin(row_poss).astype(jnp.int32)
         pay_c = jax.lax.dynamic_slice(
             payload, (o, 0), (window, 12))                     # [P, 12]

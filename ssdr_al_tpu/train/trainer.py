@@ -533,6 +533,11 @@ class Trainer:
         for epoch in range(max_epoch):
             t0 = time.time()
             losses, accs, act_sum = [], [], 0.0
+            # `metrics` must survive a zero-step epoch (steps_per_epoch=0 or
+            # an empty batch_iter): the act_sum read below otherwise depends
+            # on whichever of the three loops ran last (ADVICE r4)
+            metrics = {"activation_sum": 0.0, "loss": jnp.zeros(()),
+                       "accuracy": jnp.zeros(())}
             if use_pool and poss_pool:
                 poss = getattr(device_pool, "_poss_state", None)
                 if poss is None:
@@ -565,6 +570,8 @@ class Trainer:
                 losses.append(metrics["loss"])
                 accs.append(metrics["accuracy"])
             act_sum = float(metrics["activation_sum"])
+            if not losses:  # zero-step epoch: nothing to average
+                losses, accs = [jnp.zeros(())], [jnp.zeros(())]
             self.log(
                 f"Round {round_num} | epoch={epoch} "
                 f"L_out={float(jnp.mean(jnp.stack(losses))):.3f} "
