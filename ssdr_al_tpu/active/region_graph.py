@@ -367,7 +367,9 @@ class SuperpointBlockCache:
             return _ch.chamfer_pairwise_blocks_gathered_dp(
                 pts, msk, jnp.asarray(idx), self.mesh, 8)
         if use_pallas:
-            return _ch.chamfer_pairwise_blocks_gathered_pallas(
+            # _chunked: over-cap rungs split the block axis into safe
+            # power-of-two sub-dispatches instead of losing kernel coverage
+            return _ch.chamfer_pairwise_blocks_gathered_pallas_chunked(
                 pts, msk, jnp.asarray(idx))
         return chamfer_pairwise_blocks_gathered(pts, msk, jnp.asarray(idx), 8)
 
@@ -509,7 +511,7 @@ def build_region_graph(
                     cd_dev = _ch.chamfer_pairwise_blocks_dp(
                         jnp.asarray(pts_g), jnp.asarray(msk_g), mesh, 8)
             elif use_pallas:
-                cd_dev = _ch.chamfer_pairwise_blocks_pallas(
+                cd_dev = _ch.chamfer_pairwise_blocks_pallas_chunked(
                     jnp.asarray(pts_g), jnp.asarray(msk_g))
             else:
                 cd_dev = chamfer_pairwise_blocks(

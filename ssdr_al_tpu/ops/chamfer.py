@@ -375,17 +375,38 @@ def _pallas_tiles(s: int, p: int):
     return ti, tj
 
 
+# live-buffer cap for ONE kernel dispatch: the packed operands bound the
+# largest single live buffers — the masked f32 pts [C,S,P,3] (12·C·S·P
+# bytes) and the bf16 lhs/rhs [C·S·P, 16] (32·C·S·P each) — and this
+# platform's TPU worker dies on >500 MB live buffers (~40 min recovery,
+# CLAUDE.md). 5.24e6 = the measured-good 8×1024×512 production dispatch
+# ×1.25 (~168 MB per packed operand).
+_CSP_CAP = 5_242_880
+
+
+def _subchunk(c: int, s: int, p: int):
+    """Largest power-of-two block count ≤ c whose dispatch fits _CSP_CAP.
+    Power-of-two sizes keep the compiled-shape SET closed ({8,4,2,1} at the
+    production _G_CHUNK=8) — an exact-fit ladder measured WORSE on this
+    platform (4× compile surface; CLAUDE.md chamfer-group lesson)."""
+    sub = 1
+    while sub * 2 <= c and c % (sub * 2) == 0 and 2 * sub * s * p <= _CSP_CAP:
+        sub *= 2
+    return sub if sub * s * p <= _CSP_CAP else 0
+
+
 def chamfer_supports_pallas(s: int, p: int, c: int = 8) -> bool:
-    """True iff the fused kernel both exists (TPU) and is SAFE at this
-    dispatch: beyond the tile gates, the packed operands bound the largest
-    single live buffers — the masked f32 pts [C,S,P,3] (12·C·S·P bytes) and
-    the bf16 lhs/rhs [C·S·P, 16] (32·C·S·P each) — and this platform's TPU
-    worker dies on >500 MB live buffers (~40 min recovery, CLAUDE.md).
-    Cap C·S·P at 5.24e6 (the measured-good 8×1024×512 production dispatch
-    ×1.25): larger ladder rungs (late-round anchor growth can reach S=4096)
-    fall back to the exact path, whose target-chunked form keeps live
-    blocks ≤ ~128 MB at any S."""
-    if c * s * p > 5_242_880:
+    """True iff the fused kernel both exists (TPU) and can run SAFELY at
+    this dispatch — directly when C·S·P fits the live-buffer cap, else via
+    the *_chunked wrappers, which split the block axis into power-of-two
+    sub-dispatches (exact: blocks are independent) so large ladder rungs
+    (late-round anchor growth reaches S=4096) keep kernel coverage instead
+    of falling back wholesale (VERDICT r4 #2 — the reference's CUDA chamfer
+    tiles through fixed 512-pt shared-memory buffers at ANY size,
+    chamfer3D.cu:11+). Only shapes the tile gates reject (odd S, P>1024 or
+    not lane-sliceable, or a single block over the cap) use the exact
+    path."""
+    if _subchunk(c, s, p) == 0:
         return False
     return jax.default_backend() == "tpu" and _pallas_tiles(s, p) is not None
 
@@ -401,9 +422,10 @@ def chamfer_pairwise_blocks_pallas(points, mask, interpret=False):
     identical to exact f32)."""
     c, s, p, _ = points.shape
     tiles = _pallas_tiles(s, p)
-    if tiles is None or c * s * p > 5_242_880:
+    if tiles is None or c * s * p > _CSP_CAP:
         # the C·S·P cap bounds the packed-operand live buffers under this
-        # platform's ~500 MB worker-crash line (see chamfer_supports_pallas)
+        # platform's ~500 MB worker-crash line; over-cap callers go through
+        # chamfer_pairwise_blocks_pallas_chunked
         raise ValueError(f"unsupported chamfer kernel shape C={c} S={s} P={p}")
     ti, tj = tiles
     lhs, rhs = _pack_chamfer_operands(points, mask)
@@ -441,6 +463,42 @@ def chamfer_pairwise_blocks_gathered_pallas(points_all, mask_all, idx):
     return chamfer_pairwise_blocks_pallas(points_all[idx], mask_all[idx])
 
 
+def chamfer_pairwise_blocks_pallas_chunked(points, mask, interpret=False):
+    """Kernel path at ANY C·S·P the tile gates accept: the block axis is
+    split into power-of-two sub-dispatches that each fit the live-buffer
+    cap (_subchunk). Exact — blocks are independent; results concatenate.
+    All sub-dispatches are enqueued before any completes, so the device
+    pipelines them back-to-back."""
+    c, s, p, _ = points.shape
+    sub = _subchunk(c, s, p)
+    if sub == 0 or c % sub:
+        raise ValueError(f"unsupported chunked chamfer shape C={c} S={s} P={p}")
+    if sub == c:
+        return chamfer_pairwise_blocks_pallas(points, mask, interpret)
+    parts = [chamfer_pairwise_blocks_pallas(points[lo:lo + sub],
+                                            mask[lo:lo + sub], interpret)
+             for lo in range(0, c, sub)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def chamfer_pairwise_blocks_gathered_pallas_chunked(points_all, mask_all,
+                                                    idx):
+    """Gathered-slab kernel path with block-axis sub-chunking (each
+    sub-dispatch gathers only its own [sub, S, P, 3] transient)."""
+    c, s = idx.shape
+    p = int(points_all.shape[1])
+    sub = _subchunk(c, s, p)
+    if sub == 0 or c % sub:
+        raise ValueError(f"unsupported chunked chamfer shape C={c} S={s} P={p}")
+    if sub == c:
+        return chamfer_pairwise_blocks_gathered_pallas(
+            points_all, mask_all, idx)
+    parts = [chamfer_pairwise_blocks_gathered_pallas(
+                points_all, mask_all, idx[lo:lo + sub])
+             for lo in range(0, c, sub)]
+    return jnp.concatenate(parts, axis=0)
+
+
 @functools.lru_cache(maxsize=32)
 def _gathered_pallas_dp_fn(mesh, axis_name: str):
     from jax.sharding import PartitionSpec as P
@@ -448,7 +506,8 @@ def _gathered_pallas_dp_fn(mesh, axis_name: str):
     shard_map = _get_shard_map()
 
     def body(points_all, mask_all, idx):
-        return chamfer_pairwise_blocks_gathered_pallas(
+        # chunked: a per-device shard can still exceed the live-buffer cap
+        return chamfer_pairwise_blocks_gathered_pallas_chunked(
             points_all, mask_all, idx)
 
     sm = shard_map(body, mesh=mesh,
@@ -463,7 +522,7 @@ def _blocks_pallas_dp_fn(mesh, axis_name: str):
 
     shard_map = _get_shard_map()
 
-    sm = shard_map(chamfer_pairwise_blocks_pallas, mesh=mesh,
+    sm = shard_map(chamfer_pairwise_blocks_pallas_chunked, mesh=mesh,
                    in_specs=(P(axis_name), P(axis_name)),
                    out_specs=P(axis_name))
     return jax.jit(sm)

@@ -228,26 +228,67 @@ class TestChamfer:
         ti=tj=1 grids (arbitrary per-round S would also Mosaic-recompile
         every round), and P must be lane-sliceable."""
         from ssdr_al_tpu.ops.chamfer import (
+            _CSP_CAP,
             _pallas_tiles,
-            chamfer_supports_pallas,
+            _subchunk,
         )
 
         assert _pallas_tiles(1024, 512) == (8, 8)
         assert _pallas_tiles(1023, 512) is None        # S % 8
         assert _pallas_tiles(256, 192) is None         # P % 128
         assert _pallas_tiles(256, 2048) is None        # P cap
-        # footprint: the production 8x1024x512 dispatch passes, the next
-        # ladder rung (S=2048) must NOT (537 MB packed operands)
-        assert not chamfer_supports_pallas(2048, 512, 8)
-        assert not chamfer_supports_pallas(1024, 512, 16)
-        # the jitted entry enforces the same cap (callers that skip the
-        # supports check must not be able to crash the worker)
+        # footprint: the production 8x1024x512 dispatch runs in ONE
+        # dispatch; the next ladder rung (S=2048, 537 MB packed operands)
+        # must sub-chunk the block axis instead of losing kernel coverage
+        assert _subchunk(8, 1024, 512) == 8
+        assert _subchunk(8, 2048, 512) == 4
+        assert _subchunk(16, 1024, 512) == 8
+        # sub sizes are always divisors of C (non-power-of-two groups)
+        assert _subchunk(6, 1024, 512) == 2
+        assert _subchunk(5, 1024, 512) == 1
+        # a SINGLE block over the cap cannot run at all
+        assert _subchunk(8, 8192, 1024) == 0
+        for c, s, p in [(8, 2048, 512), (16, 1024, 512), (6, 1024, 512)]:
+            sub = _subchunk(c, s, p)
+            assert c % sub == 0 and sub * s * p <= _CSP_CAP
+        # the jitted entry enforces the per-dispatch cap (callers that skip
+        # the supports check must not be able to crash the worker)
         from ssdr_al_tpu.ops.chamfer import chamfer_pairwise_blocks_pallas
 
         with pytest.raises(ValueError, match="unsupported"):
             chamfer_pairwise_blocks_pallas(
                 jnp.zeros((8, 2048, 512, 3), jnp.float32),
                 jnp.zeros((8, 2048, 512), bool), True)
+
+    def test_chunked_matches_unchunked_interpret(self, rng, monkeypatch):
+        """Block-axis sub-chunking is exact: with the live-buffer cap
+        lowered so _subchunk splits C=4 into 2 sub-dispatches, the chunked
+        wrapper must reproduce the single-dispatch kernel bitwise (blocks
+        are independent; interpret mode on CPU, real Mosaic compile in
+        test_tpu_gates)."""
+        import ssdr_al_tpu.ops.chamfer as ch
+
+        c, s, p = 4, 16, 128
+        pts = (rng.randn(c, s, p, 3)
+               * rng.uniform(0.05, 0.6, (c, s, 1, 3))).astype(np.float32)
+        msk = np.ones((c, s, p), bool)
+        msk[:, :, p // 2:] = False
+        pts[~msk[..., None].repeat(3, -1).reshape(c, s, p, 3)] = 0.0
+        full = np.asarray(ch.chamfer_pairwise_blocks_pallas(
+            jnp.asarray(pts), jnp.asarray(msk), True))
+        monkeypatch.setattr(ch, "_CSP_CAP", 2 * s * p)
+        assert ch._subchunk(c, s, p) == 2
+        got = np.asarray(ch.chamfer_pairwise_blocks_pallas_chunked(
+            jnp.asarray(pts), jnp.asarray(msk), True))
+        np.testing.assert_array_equal(got, full)
+        # gathered-slab variant chunks identically (interpret passthrough
+        # not exposed there — check the pure chunk/concat logic instead by
+        # restoring the cap and comparing against the one-dispatch result)
+        monkeypatch.setattr(ch, "_CSP_CAP", 5_242_880)
+        idx = jnp.asarray(np.array([2, 0, 3, 1], np.int32))
+        g_full = np.asarray(ch.chamfer_pairwise_blocks_pallas(
+            jnp.asarray(pts)[idx], jnp.asarray(msk)[idx], True))
+        np.testing.assert_array_equal(full[np.array([2, 0, 3, 1])], g_full)
 
 
 # ------------------------------------------------------------------- geof ---

@@ -286,3 +286,46 @@ class TestChamferKernel:
         big = np.where(off, 0.0, 1e18)
         assert (np.argmin(e + big, axis=-1) == np.argmin(k + big, axis=-1)
                 ).mean() > 0.999
+
+    def test_chunked_kernel_matches_unchunked(self, rng, monkeypatch):
+        """Block-axis sub-chunking (VERDICT r4 #2: over-cap ladder rungs
+        keep kernel coverage) under a real Mosaic compile: with the
+        live-buffer cap lowered so C=8 splits into 4-block sub-dispatches,
+        the chunked wrapper must reproduce the one-dispatch result
+        bitwise — blocks are independent and the per-block program is
+        identical."""
+        import jax.numpy as jnp
+
+        import ssdr_al_tpu.ops.chamfer as ch
+
+        c, s, p = 8, 256, 512
+        pts = (rng.randn(c, s, p, 3)
+               * rng.uniform(0.05, 0.6, (c, s, 1, 3))).astype(np.float32)
+        msk = np.ones((c, s, p), bool)
+        msk[:, :, int(p * 0.8):] = False
+        pts[~msk[..., None].repeat(3, -1).reshape(c, s, p, 3)] = 0.0
+        full = np.asarray(ch.chamfer_pairwise_blocks_pallas(
+            jnp.asarray(pts), jnp.asarray(msk)))
+        monkeypatch.setattr(ch, "_CSP_CAP", 4 * s * p)
+        assert ch._subchunk(c, s, p) == 4
+        got = np.asarray(ch.chamfer_pairwise_blocks_pallas_chunked(
+            jnp.asarray(pts), jnp.asarray(msk)))
+        np.testing.assert_array_equal(got, full)
+        # gathered-slab chunked variant: the slab is the flattened
+        # [C*S, P] superpoint store, idx [C, S] the per-group row picks.
+        # Compare against the UNCHUNKED gathered form (fusing the gather
+        # into the operand packing shifts low bits vs the direct form —
+        # ~3e-5 rel, measured; chunking itself must be exact)
+        slab_p = jnp.asarray(pts.reshape(c * s, p, 3))
+        slab_m = jnp.asarray(msk.reshape(c * s, p))
+        idx = jnp.arange(c * s, dtype=jnp.int32).reshape(c, s)
+        monkeypatch.setattr(ch, "_CSP_CAP", 5_242_880)
+        g_full = np.asarray(ch.chamfer_pairwise_blocks_gathered_pallas(
+            slab_p, slab_m, idx))
+        rel = (np.abs(g_full - full)
+               / np.maximum(np.abs(full), 1e-9)).max()
+        assert rel < 2e-4, rel  # gather-fusion low-bit shift only
+        monkeypatch.setattr(ch, "_CSP_CAP", 4 * s * p)
+        g = np.asarray(ch.chamfer_pairwise_blocks_gathered_pallas_chunked(
+            slab_p, slab_m, idx))
+        np.testing.assert_array_equal(g, g_full)
