@@ -182,7 +182,8 @@ def main():
                    help="trial seed: varies sampler + training-pipeline RNG")
     p.add_argument("--configs", default="random,sb_mean,ssdr_full",
                    help="comma-separated subset of: random, sb_mean, "
-                        "ssdr_full, ssdr_dom ('' = all)")
+                        "ssdr_full, ssdr_dom, ssdr_gcn, ssdr_edcd "
+                        "('' = all)")
     p.add_argument("--train_steps", type=int, default=30,
                    help="steps per epoch (reference: 500, helper_tool.py:52)")
     p.add_argument("--max_epoch", type=int, default=3,
@@ -242,6 +243,19 @@ def main():
                 point_uncertainty_mode="sb", uncertainty_mode="WetSU",
                 oracle_mode="dominant", class_balance="clsbal",
                 diversity="gcn_fps")),
+            # trainable-coreGCN diversity branch (gcn.py:235-263): the
+            # 20000-step GCN fit + kCenterGreedy selection — quality
+            # evidence that the branch selects sanely end-to-end
+            ("ssdr_gcn", TSamplerArgs(
+                point_uncertainty_mode="sb", uncertainty_mode="WetSU",
+                oracle_mode="NAIL", class_balance="clsbal",
+                diversity="gcn")),
+            # edcd diversity branch (sampler2.py:693-706): superpoint FPS
+            # over centroid-ED + chamfer-CD on the top-2B candidate pool
+            ("ssdr_edcd", TSamplerArgs(
+                point_uncertainty_mode="sb", uncertainty_mode="WetSU",
+                oracle_mode="NAIL", class_balance="clsbal",
+                diversity="edcd")),
         ]
         wanted = [c for c in args.configs.split(",") if c]
         unknown = set(wanted) - {name for name, _ in all_configs}

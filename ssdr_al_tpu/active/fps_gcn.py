@@ -22,7 +22,6 @@ import numpy as np
 
 from ssdr_al_tpu.active.region_graph import (
     RegionGraph,
-    blocks_to_flat,
     flat_to_blocks,
 )
 from ssdr_al_tpu.ops.fps import farthest_feature_sample
@@ -69,6 +68,38 @@ def _propagate(adj, feats, mask, hops: int):
     return total
 
 
+# candidate-count ladder for the fused program: power-of-two rungs keep
+# the compiled-shape set closed as the anchor cap grows (r−1)·1000/round —
+# 256-multiples recompiled the FPS program EVERY round (CLAUDE.md:
+# shape-bucket every jitted operand in multi-round host loops)
+_M_LADDER = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
+def _m_rung(m: int) -> int:
+    for v in _M_LADDER:
+        if v >= m:
+            return v
+    return -(-m // 65536) * 65536
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _gcn_fps_device(ed_cd, mask, blocks, cand_blk, cand_slot, start,
+                    gcn_top: int, hops: int, sample_number: int):
+    """The whole diversity-reasoning compute as ONE device program:
+    adjacency normalization → feature propagation → candidate gather →
+    greedy farthest-feature loop. The split form (3 dispatches + a [N, D]
+    download + re-upload around a host gather) cost ~1.3 s/round at
+    200-cloud scale on this platform's ~30 ms dispatch / ~35 MB/s tunnel;
+    fused, only ed_cd/blocks travel up and sample_number int32 come back.
+    cand_blk/cand_slot [M_pad] map candidate rows into the padded blocks;
+    rows with cand_blk < 0 are padding (never selected)."""
+    adj = _normalize_adjacency(ed_cd, mask, gcn_top)
+    combined = _propagate(adj, blocks, mask, hops)
+    valid = cand_blk >= 0
+    feats_sel = combined[jnp.maximum(cand_blk, 0), cand_slot]
+    return farthest_feature_sample(feats_sel, start, sample_number, valid)
+
+
 def gcn_fps_sampling(
     graph: RegionGraph,
     features: np.ndarray,
@@ -92,31 +123,22 @@ def gcn_fps_sampling(
         # (np.random.randint(0, 0) in fps_gcn_cpu.py:155) — returning an
         # empty selection lets the driver finish the horizon instead.
         return {}
-    adj = _normalize_adjacency(
-        jnp.asarray(graph.ed_cd), jnp.asarray(graph.mask), int(gcn_top)
-    )
     blocks = flat_to_blocks(graph, np.asarray(features, np.float32))
-    combined = _propagate(adj, jnp.asarray(blocks), jnp.asarray(graph.mask),
-                          int(gcn_number))
-    combined_flat = blocks_to_flat(graph, np.asarray(combined))
 
     unl_idx = np.where(unlabeled_flags)[0]
     sampling_batch = min(sampling_batch, len(unl_idx))
     start = rng.randint(0, len(unl_idx))
-    # bucket the candidate count to 256s (masked pad rows are never
-    # selected) so the FPS loop compiles once per bucket, not per round
     m = len(unl_idx)
-    m_pad = -(-m // 256) * 256
-    feats_sel = np.zeros((m_pad, combined_flat.shape[1]), np.float32)
-    feats_sel[:m] = combined_flat[unl_idx]
-    valid = np.zeros(m_pad, bool)
-    valid[:m] = True
-    sel = np.asarray(
-        farthest_feature_sample(
-            jnp.asarray(feats_sel), int(start), int(sampling_batch),
-            jnp.asarray(valid),
-        )
-    )
+    m_pad = _m_rung(m)
+    cand_blk = np.full(m_pad, -1, np.int32)
+    cand_slot = np.zeros(m_pad, np.int32)
+    cand_blk[:m] = graph.block_of[unl_idx]
+    cand_slot[:m] = graph.slot_of[unl_idx]
+    sel = np.asarray(_gcn_fps_device(
+        jnp.asarray(graph.ed_cd), jnp.asarray(graph.mask),
+        jnp.asarray(blocks), jnp.asarray(cand_blk), jnp.asarray(cand_slot),
+        int(start), int(gcn_top), int(gcn_number), int(sampling_batch),
+    ))
     file_list: Dict[str, List[int]] = {}
     for i in unl_idx[sel]:
         ref = graph.refs[i]

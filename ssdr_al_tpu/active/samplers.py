@@ -122,6 +122,42 @@ def _scatter_map(order, j, idx, valid):
     return src, idx[oj[src]]
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_reduced_fn(eval_step, point_unc_mode: str):
+    """Forward + transfer-diet reduction in ONE program (one dispatch per
+    chunk group instead of two, and the [B, N, C] probs never round-trip
+    HBM between programs). Cached on the eval_step OBJECT: runners are
+    rebuilt every AL round, and a per-runner jit wrapper would re-trace
+    the whole forward each round (measured: prediction 1.5 → 17.7 s at
+    200-cloud scale — the trace + compile-cache lookup of the fused
+    program costs seconds even when the persistent cache has the binary).
+
+    The tunnel moves ~30-40 MB/s in BOTH directions (measured), so every
+    transferred byte is wall-clock: classes travel as uint8
+    (num_classes ≤ 255), uncertainty as float16 (values in [0, log C];
+    5e-4 relative is far below the bf16 activation noise), features as
+    saturating-clipped float16 (bfloat16 activations from an early-round
+    model can exceed float16 max — an unclipped cast makes inf penultimate
+    features, which poison region-feature means and collapse the FPS
+    distance field). On the keep-penult path the f16 output is RETAINED
+    on device (half the HBM of the raw activations, identical to the
+    value the host path would see after its f16 transfer)."""
+
+    @jax.jit
+    def _eval_reduced(state, batch):
+        res = eval_step(state, batch)
+        probs, feats = res[0], res[1]
+        unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
+        cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        f16 = jnp.clip(feats.astype(jnp.float32), -6.5e4, 6.5e4).astype(
+            jnp.float16)
+        if len(res) == 3:
+            return cls, unc, f16, res[2]
+        return cls, unc, f16
+
+    return _eval_reduced
+
+
 @dataclasses.dataclass
 class CloudInference:
     """Per-cloud outputs of the selection-time forward pass."""
@@ -174,36 +210,7 @@ class InferenceRunner:
         self.mesh = mesh
         self.pipe = SamplingPipeline(clouds, cfg, seed=seed)
 
-        @jax.jit
-        def _reduce(probs, feats):
-            # the tunnel moves ~30-40 MB/s in BOTH directions (measured),
-            # so every transferred byte is wall-clock: classes travel as
-            # uint8 (num_classes ≤ 255), uncertainty as float16 (values in
-            # [0, log C]; 5e-4 relative is far below the bf16 activation
-            # noise), features as saturating-clipped float16 (bfloat16
-            # activations from an early-round model can exceed float16 max —
-            # an unclipped cast makes inf penultimate features, which poison
-            # region-feature means and collapse the FPS distance field)
-            unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
-            cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            f16 = jnp.clip(feats.astype(jnp.float32), -6.5e4, 6.5e4).astype(
-                jnp.float16)
-            return cls, unc, f16
-
-        @jax.jit
-        def _reduce_nofeat(probs, feats):
-            # keep-on-device path: classes/uncertainty transfer narrow, the
-            # penult buffer is RETAINED on device — rounded to saturating
-            # f16 here (half the HBM of the raw activations, identical to
-            # the value the host path would see after its f16 transfer)
-            unc = point_uncertainty(probs, point_unc_mode).astype(jnp.float16)
-            cls = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            f16 = jnp.clip(feats.astype(jnp.float32), -6.5e4, 6.5e4).astype(
-                jnp.float16)
-            return cls, unc, f16
-
-        self._reduce = _reduce
-        self._reduce_nofeat = _reduce_nofeat
+        self._eval_reduced = _eval_reduced_fn(eval_step, point_unc_mode)
 
     def _shrink_batch(self, batch):
         """Quantized inference upload — see trainer.shrink_eval_batch
@@ -242,14 +249,12 @@ class InferenceRunner:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            res = self.eval_step(self.state, batch)
-            order = res[2] if len(res) == 3 else None
+            res = self._eval_reduced(self.state, batch)
+            cls, u, f16 = res[0], res[1], res[2]
+            order = res[3] if len(res) == 4 else None
             if self.keep_penult:
-                cls, u, pen16 = self._reduce_nofeat(res[0], res[1])
-                self._penult_groups.append(pen16)
+                self._penult_groups.append(f16)
                 f16 = None
-            else:
-                cls, u, f16 = self._reduce(res[0], res[1])
             pending.append((g, cls, u, f16, order))
         out = {
             c.name: CloudInference(
@@ -351,9 +356,9 @@ class InferenceRunner:
                 from ssdr_al_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            res = self.eval_step(self.state, batch)
-            order = res[2] if len(res) == 3 else None
-            cls, u, f16 = self._reduce(res[0], res[1])
+            res = self._eval_reduced(self.state, batch)
+            cls, u, f16 = res[0], res[1], res[2]
+            order = res[3] if len(res) == 4 else None
             pending.append((chunks[s : s + cb], cls, u, f16, order))
         for group, cls, u, feats, order in pending:
             cls, u, feats = np.asarray(cls), np.asarray(u), np.asarray(feats)

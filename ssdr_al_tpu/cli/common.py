@@ -20,7 +20,11 @@ from ssdr_al_tpu.active.state import ALState
 from ssdr_al_tpu.config import Config, get_config
 from ssdr_al_tpu.data.cloud import Cloud, load_clouds
 from ssdr_al_tpu.data.ply import write_ply
-from ssdr_al_tpu.data.synthetic import NUM_SYNTH_CLASSES, make_dataset
+from ssdr_al_tpu.data.synthetic import (
+    NUM_SYNTH_CLASSES,
+    NUM_SYNTH_CLASSES_HARD,
+    make_dataset,
+)
 
 
 def log_out(msg: str, f=None):
@@ -41,6 +45,13 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="use generated scenes instead of a real dataset")
     p.add_argument("--synthetic_rooms", type=int, default=4)
     p.add_argument("--synthetic_points", type=int, default=20000)
+    p.add_argument("--synthetic_easy", action="store_true",
+                   help="legacy easy scenes (8 well-separated classes; "
+                        "mIoU saturates ~0.999 by round 4). Default is the "
+                        "HARD generator (confusable geometry, rare classes, "
+                        "boundary noise — data/synthetic.py:make_room_hard) "
+                        "so the flagship record_round curve differentiates "
+                        "samplers instead of saturating")
     p.add_argument("--num_points", type=int, default=0,
                    help="override cfg.num_points (0 = dataset default)")
     p.add_argument("--max_epoch", type=int, default=0,
@@ -87,9 +98,11 @@ class Experiment:
 def setup_experiment(args) -> Experiment:
     cfg = get_config(args.dataset)
     overrides = {}
+    synth_hard = args.synthetic and not getattr(args, "synthetic_easy", False)
     if args.synthetic:
         overrides.update(
-            num_classes=NUM_SYNTH_CLASSES,
+            num_classes=(NUM_SYNTH_CLASSES_HARD if synth_hard
+                         else NUM_SYNTH_CLASSES),
             num_points=args.num_points or 4096,
             batch_size=2,
             val_batch_size=2,
@@ -125,12 +138,13 @@ def setup_experiment(args) -> Experiment:
     os.makedirs(data_path, exist_ok=True)
 
     if args.synthetic:
-        input_path = os.path.join(ds_dir, "input_synth")
+        input_path = os.path.join(
+            ds_dir, "input_synth_hard" if synth_hard else "input_synth")
         if not os.path.isdir(input_path) or not os.listdir(input_path):
             os.makedirs(input_path, exist_ok=True)
             train, val = make_dataset(
                 num_train=args.synthetic_rooms, num_val=1,
-                num_points=args.synthetic_points,
+                num_points=args.synthetic_points, hard=synth_hard,
             )
             for c in train + val:
                 write_ply(
