@@ -58,6 +58,14 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="override cfg.max_epoch (0 = dataset default)")
     p.add_argument("--train_steps", type=int, default=0,
                    help="override cfg.train_steps (0 = dataset default)")
+    p.add_argument("--val_steps", type=int, default=0,
+                   help="override cfg.val_steps (0 = dataset default; the "
+                        "synthetic default 8 is a smoke-test size — eval "
+                        "mIoU over 16 random 4096-pt crops swings ±0.15 "
+                        "round-to-round; use ≥40 for record_round curves "
+                        "meant to compare samplers)")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="override cfg.batch_size (0 = dataset default)")
     p.add_argument("--knn_engine", type=str, default="window",
                    choices=["window", "window_og", "approx", "xla", "pallas"])
     p.add_argument("--compute_dtype", type=str, default="",
@@ -118,6 +126,12 @@ def setup_experiment(args) -> Experiment:
             overrides["max_epoch"] = args.max_epoch
         if args.train_steps:
             overrides["train_steps"] = args.train_steps
+    # --val_steps / --batch_size apply to BOTH real and synthetic configs
+    # (placed after the synthetic block so they override its smoke defaults)
+    if getattr(args, "val_steps", 0):
+        overrides["val_steps"] = args.val_steps
+    if getattr(args, "batch_size", 0):
+        overrides["batch_size"] = args.batch_size
     if getattr(args, "compute_dtype", ""):
         overrides["compute_dtype"] = args.compute_dtype
     if getattr(args, "search_window", 0):
