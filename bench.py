@@ -322,21 +322,40 @@ def roofline_accounting(fwd_pps: float, train_pps: float):
         "ceilings_note": ("measured on-device: chained bf16 4096^3 matmuls "
                           "(f32 acc) / chained 2r1w f32 adds — NOT datasheet"),
         "forward_flops_per_point": round(f_flops / pts, 1),
-        "forward_hbm_bytes_per_point": round(f_bytes / pts, 1),
+        "forward_bytes_accessed_per_point": round(f_bytes / pts, 1),
         "train_step_flops_per_point": round(t_flops / pts, 1),
-        "train_step_hbm_bytes_per_point": round(t_bytes / pts, 1),
-        "cost_model": "XLA compiled.cost_analysis() of the measured programs",
+        "train_step_bytes_accessed_per_point": round(t_bytes / pts, 1),
+        "cost_model": ("XLA compiled.cost_analysis() of the measured "
+                       "programs; 'bytes accessed' counts every operand "
+                       "touch — VMEM-served reuse included — so it is an "
+                       "UPPER BOUND on HBM traffic, not a measurement"),
     }
     if f_flops and mxu_ceiling:
         out["forward_pct_of_mxu_peak"] = round(
             100.0 * f_flops / pts * fwd_pps / mxu_ceiling, 1)
-        out["forward_pct_of_hbm_peak"] = round(
-            100.0 * f_bytes / pts * fwd_pps / hbm_ceiling, 1)
+        fwd_ba_rate = f_bytes / pts * fwd_pps
+        out["forward_bytes_accessed_gbps"] = round(fwd_ba_rate / 1e9, 1)
     if t_flops and mxu_ceiling:
         out["train_step_pct_of_mxu_peak"] = round(
             100.0 * t_flops / pts * train_pps / mxu_ceiling, 1)
-        out["train_step_pct_of_hbm_peak"] = round(
-            100.0 * t_bytes / pts * train_pps / hbm_ceiling, 1)
+        t_ba_rate = t_bytes / pts * train_pps
+        out["train_step_bytes_accessed_gbps"] = round(t_ba_rate / 1e9, 1)
+    if f_flops and t_flops and mxu_ceiling:
+        # bytes-accessed rate over the HBM ceiling: >1 is PROOF of on-chip
+        # reuse (the program could not sustain the measured points/s if
+        # every counted byte hit HBM), and 1 − ceiling/rate lower-bounds
+        # the fraction of accesses served from VMEM/registers
+        out["min_vmem_served_fraction_forward"] = round(
+            max(0.0, 1.0 - hbm_ceiling / max(fwd_ba_rate, 1.0)), 2)
+        out["min_vmem_served_fraction_train"] = round(
+            max(0.0, 1.0 - hbm_ceiling / max(t_ba_rate, 1.0)), 2)
+        out["hbm_note"] = (
+            "bytes-accessed exceeds the HBM ceiling at the measured "
+            "throughput — the working set is mostly VMEM-resident; the "
+            "true HBM-bound ceiling for the forward is therefore ABOVE "
+            "the measured points/s, and the MXU %-of-peak is the binding "
+            "utilization number (window-gather + VPU distance work, not "
+            "matmul FLOPs, dominate the runtime)")
     return out
 
 
