@@ -112,3 +112,12 @@ def test_cli_overrides_plumb(tmp_path):
     exp = setup_experiment(args)
     assert exp.cfg.compute_dtype == "float32"
     assert exp.cfg.search_window == 2048
+
+    # --val_steps/--batch_size override the synthetic smoke defaults (8/2):
+    # record_round curves need ≥40 eval crops for sub-±0.15 mIoU noise
+    args = make_args(tmp_path, val_steps=40, batch_size=4)
+    exp = setup_experiment(args)
+    assert exp.cfg.val_steps == 40
+    assert exp.cfg.batch_size == 4
+    exp = setup_experiment(make_args(tmp_path))
+    assert (exp.cfg.val_steps, exp.cfg.batch_size) == (8, 2)
