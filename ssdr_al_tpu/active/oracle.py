@@ -142,6 +142,17 @@ def oracle_labeling(
             stats.p_num += len(point_inds)
 
     elif mode == "NAIL":
+        if prob_class is None:
+            # the NAIL annotator splits rejected superpoints by the MODEL's
+            # predicted classes — samplers with no inference pass (random/
+            # seed) cannot drive it. The reference has the same constraint,
+            # but fails opaquely inside _get_sub_region_from_superpoint
+            # (sampler2.py:117-122 with prob_class=None); its random
+            # baselines use the dominant oracle (run_sota_comparison.sh).
+            raise ValueError(
+                "NAIL oracle requires model predictions (prob_class); "
+                "use oracle_mode='dominant' for samplers without an "
+                "inference pass (random/seed)")
         for sp_idx in superpoint_inds:
             if budget["click"] <= 0:
                 break

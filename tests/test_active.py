@@ -147,6 +147,19 @@ class TestOracle:
         assert stats.sp_num == 3 and stats.ignore_sp_num == 0
         assert budget["click"] == 0
 
+    def test_nail_without_predictions_raises_clearly(self, rng):
+        # NAIL splits rejected superpoints by MODEL predictions; samplers
+        # with no inference pass (random/seed) must fail with a clear error
+        # instead of the reference's opaque 0-d index crash
+        # (sampler2.py:117-122 with prob_class=None)
+        components, gt = make_cloud_partition(rng)
+        pseudo = np.zeros((2, 200), np.float32)
+        with pytest.raises(ValueError, match="dominant"):
+            oracle_labeling(
+                list(range(10)), components, gt, pseudo, RoundStats(),
+                "NAIL", None, 0.9, {"click": 3}, 1, [],
+            )
+
     def test_nail_splits_impure_region(self, rng):
         # one superpoint, half class 0 / half class 1, predictions match gt
         components = [np.arange(100)]
